@@ -1,0 +1,60 @@
+"""Scalable global docID assignment under stable (conv_id, turn_idx) order.
+
+The reference's docIDs are per-segment Lucene ints plus a per-segment docBase
+offset (reference: search/collector/HybridTopScoreDocCollector.java:34,51,128).
+We mirror the docBase idea distributively: range-partition by the ordering
+key, count rows per partition (tiny driver-side collect of P integers),
+compute exclusive prefix sums, and add each partition's base to its local
+row_number. No global single-partition sort — this is the standard
+zipWithIndex pattern expressed in DataFrame operations, and it holds at
+10^12 rows (the only driver-side state is one long per partition).
+
+The input is persisted before the two passes so the sampled range boundaries
+are identical in both jobs (in the production pipeline the docID stage writes
+a parquet checkpoint, which guarantees the same thing across restarts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    id_col: str = "docID",
+) -> DataFrame:
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        bases, acc = {}, 0
+        for pid in sorted(counts):
+            bases[pid] = acc
+            acc += counts[pid]
+        base_expr = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p in sorted(counts)]),
+                F.array(*[F.lit(bases[p]) for p in sorted(counts)]),
+            ),
+            F.col("_pid"),
+        )
+        w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+        out = (
+            ranged.withColumn("_local", F.row_number().over(w))
+            .withColumn(id_col, (F.col("_local") - 1 + base_expr).cast("long"))
+            .drop("_pid", "_local")
+        )
+        # materialize while `ranged` is still cached; callers get a plain DF
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out

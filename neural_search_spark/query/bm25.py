@@ -1,0 +1,118 @@
+"""BM25 top-k over the relational postings tables.
+
+Scoring matches Lucene/OpenSearch BM25Similarity defaults, which score the
+reference's lexical (term/match) sub-queries (exercised by
+src/test/.../query/HybridQueryIT.java:138-145):
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d,q) = Σ_{t ∈ q ∩ d} w_q(t) · idf(t) · tf / (tf + k1·(1 - b + b·dl/avgdl))
+
+with k1 = 1.2, b = 0.75.  Lucene ≥ 8 drops the classic (k1+1) numerator
+constant (rank-preserving); we follow Lucene.  Divergence (documented):
+Lucene quantizes dl to a 1-byte SmallFloat norm; our default mode keeps the
+exact dl (see query/lucene_norms.py for the parity mode).
+
+Tie-break: score desc, docID asc — reference
+processor/combination/ScoreCombiner.java:37-50.
+
+Plan shape (checked with .explain): the query-terms side is a literal-backed
+local relation broadcast into the postings join (never a shuffle); stats join
+on `term` is broadcast when `term_stats` is small or pre-joined via the
+segment metadata path; final top-k compiles to TakeOrderedAndProject (bounded
+per-partition heaps + driver merge — no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neural_search_spark import B, K1
+
+
+def idf_col(df_col, n_col) -> F.Column:
+    return F.log(F.lit(1.0) + (n_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
+
+
+def bm25_score_col(tf, dl, avgdl, k1: float = K1, b: float = B) -> F.Column:
+    """Per-(term, doc) score component excluding idf/weight."""
+    return tf / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl))
+
+
+def query_terms_df(spark: SparkSession, terms: dict[str, float] | list[str]) -> DataFrame:
+    """Literal query terms → 1-row-per-term DataFrame (broadcastable)."""
+    if isinstance(terms, dict):
+        rows = [(t, float(w)) for t, w in sorted(terms.items())]
+    else:
+        rows = [(t, 1.0) for t in sorted(set(terms))]
+    return spark.createDataFrame(rows, "q_term string, q_weight double")
+
+
+def bm25_score_all(
+    postings: DataFrame,
+    doclens: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: dict[str, float] | list[str],
+    k1: float = K1,
+    b: float = B,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """All matching docs with exact BM25 scores: (docID, score).
+
+    `prefilter`, if given, is a (docID) DataFrame; candidates are restricted
+    *before* scoring via left-semi join, but collection statistics stay
+    global — matching the reference, where FILTER clauses restrict matches
+    but BM25 stats come from the whole index (query/HybridQuery.java:43-60).
+    """
+    spark = postings.sparkSession
+    q = query_terms_df(spark, terms)
+    m = meta.first()
+    n_docs, avgdl = m["N"], float(m["avgdl"])
+
+    scored_terms = (
+        q.join(term_stats, q.q_term == term_stats.term, "inner")
+        .select(
+            "term",
+            "q_weight",
+            (F.col("q_weight") * idf_col(F.col("df"), F.lit(n_docs))).alias("w_idf"),
+        )
+    )
+    cand = postings.join(F.broadcast(scored_terms), "term")
+    if prefilter is not None:
+        cand = cand.join(prefilter.select("docID"), "docID", "left_semi")
+    cand = cand.join(doclens, "docID")
+    per_term = cand.select(
+        "docID",
+        (F.col("w_idf") * bm25_score_col(F.col("tf"), F.col("dl"), F.lit(avgdl), k1, b)).alias("part"),
+    )
+    return per_term.groupBy("docID").agg(F.sum("part").alias("score"))
+
+
+def topk(scores: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """score desc, docID asc, limit k; adds 1-based rank.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    bounded heaps, only k rows cross to the driver-side merge; this is the
+    Spark analog of the reference's per-shard HitQueue + coordinator merge
+    (search/collector/HybridTopScoreDocCollector.java:126-133).
+    """
+    out = scores.orderBy(F.col(score_col).desc(), F.col("docID").asc()).limit(k)
+    # rank assignment over k rows only (k is small; this is post-limit)
+    w = Window.orderBy(F.col(score_col).desc(), F.col("docID").asc())
+    return out.withColumn("rank", F.row_number().over(w)).select("rank", "docID", score_col)
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doclens: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: dict[str, float] | list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """(rank, docID, score) — top-k BM25."""
+    return topk(bm25_score_all(postings, doclens, term_stats, meta, terms, k1, b, prefilter), k)
