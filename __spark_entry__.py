@@ -1,38 +1,692 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline ops), run through the `neural_search_spark`
+engine; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Parity rules
+used throughout so value-hashes match across engines:
+
+- hashing is md5-based ``hash60`` (identical in Spark/DuckDB/Python);
+- every float is computed in double precision and ``round(x, 6)`` BEFORE
+  ranking, with ties broken by id asc — so ranks are engine-independent;
+- every integer output is cast to bigint on both sides (Spark ``size``/
+  ``row_number`` are int32, DuckDB ``sum`` is int128 — both normalized);
+- timestamps are formatted to 'yyyy-MM-dd HH:mm:ss' strings on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neural_search_spark import ops  # noqa: E402
+from neural_search_spark.analysis.tokenizer import tokenize_col  # noqa: E402
+from neural_search_spark.index.build import build_index_tables  # noqa: E402
+from neural_search_spark.query import bm25, hybrid, sparse  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared fixtures: fixed query-term sets (vocabulary of the synthetic docs)
+# ---------------------------------------------------------------------------
+
+Q_BM25 = {"spark": 1.0, "join": 1.0, "window": 1.0}
+Q_BM25_W = {"scan": 2.0, "merge": 1.0, "vector": 3.0, "zzzmissing": 5.0}
+Q_SPARSE = {"spark": 1.5, "filter": 0.4, "customer": 1.0, "batch": 0.2, "stream": 0.9}
+Q_HY_A = {"spark": 1.0, "stream": 1.0}
+Q_HY_B = {"customer": 1.0, "vector": 1.0, "batch": 1.0}
+K = 10
+CHUNK_LIMIT, CHUNK_OVERLAP = 20, 0.25  # step 15
+DELIM = " the "
+JACCARD_N, JACCARD_THRESHOLD = 3, 0.05
+MINHASH_K, MINHASH_BANDS = 8, 4
+SIMHASH_BITS = 32
+EVENT_CURSOR_TS = "2024-01-01 12:00:00"
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+SQL_TOKARR = "select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as toks from documents"
+SQL_TOKS = "select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as term from documents"
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+SQL_INDEX_CTES = f"""
+  toks as ({SQL_TOKS}),
+  postings as (select term, doc_id, count(*)::BIGINT as tf from toks group by 1, 2),
+  doclens as (select doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT as dl from documents),
+  meta as (select count(*)::BIGINT as n, avg(dl)::DOUBLE as avgdl from doclens),
+  stats as (select term, count(*)::BIGINT as df from postings group by 1)
+"""
+
+
+def _sql_values(tokens: dict[str, float]) -> str:
+    rows = ", ".join(f"('{t}', {float(w)!r}::DOUBLE)" for t, w in sorted(tokens.items()))
+    return f"(select * from (values {rows}) as t(term, w))"
+
+
+def _sql_bm25_scored(tokens: dict[str, float], alias: str = "scored") -> str:
+    """CTE body: (doc_id, score rounded to 6dp) for a BM25 query."""
+    return f"""
+  q_{alias} as {_sql_values(tokens)},
+  {alias} as (
+    select p.doc_id,
+           round(sum(q.w * ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                     * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) as score
+    from postings p
+    join q_{alias} q on p.term = q.term
+    join stats s on p.term = s.term
+    join doclens d on p.doc_id = d.doc_id
+    cross join meta m
+    group by 1
+  )"""
+
+
+SQL_SHINGLES = f"""
+  tokarr as ({SQL_TOKARR}),
+  shingles as (
+    select distinct doc_id as id,
+           case when len(toks) >= {JACCARD_N}
+                then array_to_string(toks[i:i+{JACCARD_N - 1}], ' ')
+                else array_to_string(toks, ' ') end as shingle
+    from tokarr, unnest(generate_series(1, greatest(len(toks) - {JACCARD_N - 1}, 1))) as t(i)
+  )
+"""
+
+
+def _sql_minhash_sig() -> str:
+    parts = []
+    for j in range(MINHASH_K):
+        seed_expr = "'" + str(j) + "|' || shingle"
+        parts.append(f"min({_sql_hash60(seed_expr)}) as mh_{j}")
+    return f"sig as (select id, {', '.join(parts)} from shingles group by id)"
+
+
+# ---------------------------------------------------------------------------
+# Spark helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    t = build_index_tables(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    return t
+
+
+def _ranked(df: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
+    """round(score,6) → rank on (rounded desc, id asc) → limit k."""
+    r = df.withColumn(score_col, F.round(F.col(score_col), 6))
+    top = r.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", id_col, score_col
+    )
+
+
+def _sql_rank(from_clause: str, score_col: str, id_col: str, k: int) -> str:
+    return f"""
+    select row_number() over (order by {score_col} desc, {id_col} asc)::BIGINT as rank,
+           {id_col}, {score_col}
+    from {from_clause}
+    order by {score_col} desc, {id_col} asc
+    limit {k}"""
+
+
+def _bm25_scores_rounded(index, tokens) -> DataFrame:
+    s = bm25.bm25_score_all(index.postings, index.doclens, index.term_stats, index.meta, tokens)
+    return s.withColumnRenamed("docID", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_token_term_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def q_term_doc_freq(spark, sf_dir):
+    t = _index(spark, sf_dir)
+    return t.term_stats.select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_doclens(spark, sf_dir):
+    t = _index(spark, sf_dir)
+    return t.doclens.select(F.col("docID").alias("doc_id"), F.col("dl").cast("long").alias("dl"))
+
+
+def q_collection_meta(spark, sf_dir):
+    t = _index(spark, sf_dir)
+    return t.meta.select(F.col("N").cast("long").alias("n"), F.round("avgdl", 6).alias("avgdl"))
+
+
+def q_bm25_top10(spark, sf_dir):
+    return _ranked(_bm25_scores_rounded(_index(spark, sf_dir), Q_BM25), "score", "doc_id", K)
+
+
+def q_bm25_weighted_top10(spark, sf_dir):
+    return _ranked(_bm25_scores_rounded(_index(spark, sf_dir), Q_BM25_W), "score", "doc_id", K)
+
+
+def q_bm25_prefilter_top10(spark, sf_dir):
+    """Filter pushdown semantics: candidates restricted to lang='en' BEFORE
+    scoring, but collection stats stay global (HybridQuery.java:43-60)."""
+    docs = _docs(spark, sf_dir)
+    t = _index(spark, sf_dir)
+    pre = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("docID"))
+    s = bm25.bm25_score_all(t.postings, t.doclens, t.term_stats, t.meta, Q_BM25, prefilter=pre)
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_bm25_post_filter_top10(spark, sf_dir):
+    """Post-filter: applied AFTER the global top-k, shrinking the result
+    list (FilteredCollector semantics, HybridCollectorManager.java:93-102)."""
+    docs = _docs(spark, sf_dir)
+    topk = _ranked(_bm25_scores_rounded(_index(spark, sf_dir), Q_BM25), "score", "doc_id", K)
+    keep = docs.where(F.col("source").isin(*[f"src{i}" for i in range(10)])).select("doc_id")
+    return topk.join(keep, "doc_id", "left_semi").select("rank", "doc_id", "score")
+
+
+def q_sparse_linear_top10(spark, sf_dir):
+    t = _index(spark, sf_dir)
+    weights = t.postings.select("term", F.col("docID"), F.col("tf").cast("double").alias("weight"))
+    s = sparse.sparse_scores(weights, Q_SPARSE, quantize=False)
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_two_phase_sparse_top10(spark, sf_dir):
+    t = _index(spark, sf_dir)
+    weights = t.postings.select("term", F.col("docID"), F.col("tf").cast("double").alias("weight"))
+    s = sparse.two_phase_sparse_topk(weights, Q_SPARSE, k=K, quantize=False)
+    return (
+        s.withColumnRenamed("docID", "doc_id")
+        .withColumn("score", F.round("score", 6))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _hybrid(spark, sf_dir, normalization, combination):
+    t = _index(spark, sf_dir)
+    per = []
+    for idx, tokens in enumerate([Q_HY_A, Q_HY_B]):
+        s = bm25.bm25_score_all(t.postings, t.doclens, t.term_stats, t.meta, tokens)
+        # round sub-scores so both engines normalize identical inputs
+        per.append(
+            s.select(F.lit(idx).alias("subquery_idx"), "docID", F.round("score", 6).alias("score"))
+        )
+    union = per[0].unionByName(per[1])
+    bounded = hybrid.per_subquery_topk(union, K)
+    normalized = hybrid.normalize_scores(bounded, normalization)
+    combined = hybrid.combine_scores(normalized, 2, combination)
+    return _ranked(combined.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_hybrid_minmax_arithmetic(spark, sf_dir):
+    return _hybrid(spark, sf_dir, "min_max", "arithmetic_mean")
+
+
+def q_hybrid_l2_geometric(spark, sf_dir):
+    return _hybrid(spark, sf_dir, "l2", "geometric_mean")
+
+
+def q_hybrid_minmax_harmonic(spark, sf_dir):
+    return _hybrid(spark, sf_dir, "min_max", "harmonic_mean")
+
+
+def q_rerank_by_field(spark, sf_dir):
+    """By-field rerank of the BM25 top-k (processor/rerank/
+    ByFieldRerankProcessor.java): re-order the k hits by documents.n_chars
+    desc, doc_id asc; previous score is kept as previous_score."""
+    docs = _docs(spark, sf_dir)
+    topk = _ranked(_bm25_scores_rounded(_index(spark, sf_dir), Q_BM25), "score", "doc_id", K)
+    j = topk.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return j.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("score").alias("previous_score"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return ops.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from neural_search_spark.ops.dedup import minhash_signature
+
+    return minhash_signature(_docs(spark, sf_dir), num_hashes=MINHASH_K, n=JACCARD_N)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return ops.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=JACCARD_N, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return ops.ngram_jaccard_pairs(_docs(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+
+
+def q_simhash(spark, sf_dir):
+    return ops.simhash(_docs(spark, sf_dir), n=JACCARD_N, bits=SIMHASH_BITS)
+
+
+def q_quality_features(spark, sf_dir):
+    return ops.quality_features(_docs(spark, sf_dir)).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    ).withColumn("len_chars", F.col("len_chars").cast("long"))
+
+
+def q_lang_id(spark, sf_dir):
+    return ops.lang_id(_docs(spark, sf_dir)).withColumn(
+        "profile_hits", F.col("profile_hits").cast("long")
+    )
+
+
+def q_content_fingerprint(spark, sf_dir):
+    return ops.content_fingerprint(_docs(spark, sf_dir))
+
+
+def q_chunk_fixed(spark, sf_dir):
+    return ops.chunk_fixed_token_length(
+        _docs(spark, sf_dir), token_limit=CHUNK_LIMIT, overlap_rate=CHUNK_OVERLAP
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def q_chunk_delimiter(spark, sf_dir):
+    return ops.chunk_delimiter(_docs(spark, sf_dir), delimiter=DELIM).select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text"
+    )
+
+
+def q_cosine_top10(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ops.cosine_topk(emb, [float(x) for x in qvec], k=K).select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_lsh_cosine_top10(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ops.lsh_cosine_topk(emb, [float(x) for x in qvec], k=K).select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_events_hourly_agg(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_events_search_after(spark, sf_dir):
+    """search_after paging (search/collector/PagingFieldCollector.java:88-95):
+    skip rows ≤ cursor in (ts, event_id) order, take next 20."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cur = F.to_timestamp(F.lit(EVENT_CURSOR_TS))
+    after = ev.where((F.col("ts") > cur) | ((F.col("ts") == cur) & (F.col("event_id") > 0)))
+    page = after.orderBy(F.col("ts").asc(), F.col("event_id").asc()).limit(20)
+    return page.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+
+
+def q_lineitem_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+
+
+def q_orders_join_agg(spark, sf_dir):
+    """Broadcast-join parity check: orders (small dim at this SF) joined to
+    lineitem, revenue per order priority."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_bm25(tokens: dict[str, float], k: int = K) -> str:
+    return f"with {SQL_INDEX_CTES}, {_sql_bm25_scored(tokens)} " + _sql_rank(
+        "scored", "score", "doc_id", k
+    )
+
+
+def _oracle_hybrid(normalization: str, combination: str) -> str:
+    def norm(cte: str) -> str:
+        if normalization == "min_max":
+            return f"""(
+      select t.doc_id,
+             case when st.mx = st.mn and st.mx = t.score then 1.0
+                  when (t.score - st.mn) / (st.mx - st.mn) = 0.0 then 0.001
+                  else (t.score - st.mn) / (st.mx - st.mn) end as nscore
+      from {cte} t, (select min(score) as mn, max(score) as mx from {cte}) st)"""
+        return f"""(
+      select t.doc_id,
+             case when st.l2 = 0 then 0.0 else t.score / st.l2 end as nscore
+      from {cte} t, (select sqrt(sum(score * score)) as l2 from {cte}) st)"""
+
+    if combination == "arithmetic_mean":
+        comb = "(coalesce(na.nscore, 0.0) + coalesce(nb.nscore, 0.0)) / 2"
+    elif combination == "geometric_mean":
+        comb = """case
+          when coalesce(na.nscore, 0.0) > 0 and coalesce(nb.nscore, 0.0) > 0
+            then exp((ln(na.nscore) + ln(nb.nscore)) / 2)
+          when coalesce(na.nscore, 0.0) > 0 then na.nscore
+          when coalesce(nb.nscore, 0.0) > 0 then nb.nscore
+          else 0.0 end"""
+    else:  # harmonic_mean
+        comb = """case
+          when coalesce(na.nscore, 0.0) > 0 and coalesce(nb.nscore, 0.0) > 0
+            then 2 / (1 / na.nscore + 1 / nb.nscore)
+          when coalesce(na.nscore, 0.0) > 0 then na.nscore
+          when coalesce(nb.nscore, 0.0) > 0 then nb.nscore
+          else 0.0 end"""
+
+    return f"""with {SQL_INDEX_CTES},
+  {_sql_bm25_scored(Q_HY_A, "sa")},
+  {_sql_bm25_scored(Q_HY_B, "sb")},
+  ta as (select doc_id, score from sa order by score desc, doc_id asc limit {K}),
+  tb as (select doc_id, score from sb order by score desc, doc_id asc limit {K}),
+  na as {norm("ta")},
+  nb as {norm("tb")},
+  combined as (
+    select coalesce(na.doc_id, nb.doc_id) as doc_id, round({comb}, 6) as score
+    from na full outer join nb on na.doc_id = nb.doc_id
+  )
+  {_sql_rank("combined", "score", "doc_id", K)}"""
+
+
+def _oracle_two_phase() -> str:
+    high, low = sparse.split_query_tokens(Q_SPARSE)
+    window = min(int(K * sparse.EXPANSION_RATE), sparse.MAX_WINDOW_SIZE)
+    return f"""with {SQL_INDEX_CTES},
+  q_high as {_sql_values(high)},
+  q_low as {_sql_values(low)},
+  p1 as (
+    select p.doc_id, sum(q.w * p.tf) as score
+    from postings p join q_high q on p.term = q.term group by 1
+  ),
+  win as (select doc_id, score from p1 order by score desc, doc_id asc limit {window}),
+  p2 as (
+    select p.doc_id, sum(q.w * p.tf) as score
+    from postings p join q_low q on p.term = q.term
+    where p.doc_id in (select doc_id from win) group by 1
+  ),
+  rescored as (
+    select w.doc_id, round(w.score + coalesce(p2.score, 0.0), 6) as score
+    from win w left join p2 on w.doc_id = p2.doc_id
+  )
+  {_sql_rank("rescored", "score", "doc_id", K)}"""
+
+
+def _oracle_simhash() -> str:
+    bit_aggs = ", ".join(f"sum((h >> {j}) & 1)::BIGINT as b{j}" for j in range(SIMHASH_BITS))
+    val = " + ".join(
+        f"(case when 2 * b{j} >= n_sh then 1::BIGINT else 0::BIGINT end << {j})"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""with {SQL_SHINGLES},
+  h as (select id, {_sql_hash60('shingle')} % {1 << SIMHASH_BITS} as h from shingles),
+  counted as (select id, count(*)::BIGINT as n_sh, {bit_aggs} from h group by id)
+  select id, ({val})::BIGINT as simhash from counted"""
+
+
+def _oracle_lsh_pairs() -> str:
+    r = MINHASH_K // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        key = " || ',' || ".join(f"mh_{b * r + i}::VARCHAR" for i in range(r))
+        bands.append(f"select id, {b} as band, md5({key}) as band_key from sig")
+    banded = " union all ".join(bands)
+    return f"""with {SQL_SHINGLES},
+  {_sql_minhash_sig()},
+  banded as ({banded})
+  select distinct a.id as id_a, b.id as id_b
+  from banded a join banded b on a.band = b.band and a.band_key = b.band_key
+  where a.id < b.id"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over sf0.001 documents."""
+    return q_bm25_top10(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "token_term_counts": q_token_term_counts,
+        "term_doc_freq": q_term_doc_freq,
+        "doclens": q_doclens,
+        "collection_meta": q_collection_meta,
+        "bm25_top10": q_bm25_top10,
+        "bm25_weighted_top10": q_bm25_weighted_top10,
+        "bm25_prefilter_top10": q_bm25_prefilter_top10,
+        "bm25_post_filter_top10": q_bm25_post_filter_top10,
+        "sparse_linear_top10": q_sparse_linear_top10,
+        "two_phase_sparse_top10": q_two_phase_sparse_top10,
+        "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
+        "hybrid_l2_geometric": q_hybrid_l2_geometric,
+        "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
+        "rerank_by_field": q_rerank_by_field,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "quality_features": q_quality_features,
+        "lang_id": q_lang_id,
+        "content_fingerprint": q_content_fingerprint,
+        "chunk_fixed_token_length": q_chunk_fixed,
+        "chunk_delimiter": q_chunk_delimiter,
+        "cosine_top10": q_cosine_top10,
+        "lsh_cosine_top10": q_lsh_cosine_top10,
+        "events_hourly_agg": q_events_hourly_agg,
+        "events_search_after": q_events_search_after,
+        "lineitem_agg": q_lineitem_agg,
+        "orders_join_agg": q_orders_join_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from neural_search_spark.ops.text import LANG_PROFILES, STOPWORDS_EN
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    step = CHUNK_LIMIT - int(CHUNK_LIMIT * CHUNK_OVERLAP)
+    langs = sorted(LANG_PROFILES)
+    lang_cases = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        lang_cases.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t)))::BIGINT as hits_{lang}"
+        )
+    lang_hit_cols = ", ".join(lang_cases)
+    lang_best_hits = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    # CASE checked in lang-asc order → tie-break = lang asc, matching the
+    # Spark array_min over (−hits, lang) structs
+    lang_pred = "case when best_hits = 0 then 'und' " + " ".join(
+        f"when hits_{lang} = best_hits then '{lang}'" for lang in langs
+    ) + " end"
+
+    return {
+        "token_term_counts": f"select term, count(*)::BIGINT as cnt from ({SQL_TOKS}) group by term",
+        "term_doc_freq": f"with {SQL_INDEX_CTES} select term, df from stats",
+        "doclens": f"with {SQL_INDEX_CTES} select doc_id, dl from doclens",
+        "collection_meta": f"with {SQL_INDEX_CTES} select n, round(avgdl, 6) as avgdl from meta",
+        "bm25_top10": _oracle_bm25(Q_BM25),
+        "bm25_weighted_top10": _oracle_bm25(Q_BM25_W),
+        "bm25_prefilter_top10": f"""with {SQL_INDEX_CTES},
+  {_sql_bm25_scored(Q_BM25, "s_all")},
+  scored as (select s.* from s_all s join documents d on s.doc_id = d.doc_id where d.lang = 'en')
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "bm25_post_filter_top10": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},
+  topk as ({_sql_rank("scored", "score", "doc_id", K)})
+  select t.rank, t.doc_id, t.score from topk t
+  join documents d on t.doc_id = d.doc_id
+  where d.source in ({", ".join(f"'src{i}'" for i in range(10))})""",
+        "sparse_linear_top10": f"""with {SQL_INDEX_CTES},
+  q as {_sql_values(Q_SPARSE)},
+  scored as (
+    select p.doc_id, round(sum(q.w * p.tf), 6) as score
+    from postings p join q on p.term = q.term group by 1
+  )
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "two_phase_sparse_top10": _oracle_two_phase(),
+        "hybrid_minmax_arithmetic": _oracle_hybrid("min_max", "arithmetic_mean"),
+        "hybrid_l2_geometric": _oracle_hybrid("l2", "geometric_mean"),
+        "hybrid_minmax_harmonic": _oracle_hybrid("min_max", "harmonic_mean"),
+        "rerank_by_field": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},
+  topk as ({_sql_rank("scored", "score", "doc_id", K)})
+  select row_number() over (order by d.n_chars desc, t.doc_id asc)::BIGINT as rank,
+         t.doc_id, d.n_chars::BIGINT as n_chars, t.score as previous_score
+  from topk t join documents d on t.doc_id = d.doc_id""",
+        "dedup_exact": """select md5(text) as text_md5, min(doc_id) as keep_id,
+  count(*)::BIGINT as n_dupes from documents group by 1""",
+        "minhash_signatures": f"with {SQL_SHINGLES}, {_sql_minhash_sig()} select * from sig",
+        "minhash_lsh_pairs": _oracle_lsh_pairs(),
+        "ngram_jaccard_pairs": f"""with {SQL_SHINGLES},
+  sizes as (select id, count(*)::BIGINT as n_sh from shingles group by id),
+  common as (
+    select a.id as id_a, b.id as id_b, count(*)::BIGINT as n_common
+    from shingles a join shingles b on a.shingle = b.shingle
+    where a.id < b.id group by 1, 2
+  ),
+  j as (
+    select c.id_a, c.id_b,
+           round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) as jaccard
+    from common c join sizes sa on c.id_a = sa.id join sizes sb on c.id_b = sb.id
+  )
+  select * from j where jaccard >= {JACCARD_THRESHOLD}""",
+        "simhash": _oracle_simhash(),
+        "quality_features": f"""
+  select doc_id,
+         len(toks)::BIGINT as n_tokens,
+         length(text)::BIGINT as len_chars,
+         round(case when length(text) > 0
+               then length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)
+               else 0.0 end, 6) as alpha_ratio,
+         round(case when len(toks) > 0
+               then len(list_filter(toks, t -> list_contains([{sw}], t))) / len(toks)
+               else 0.0 end, 6) as stopword_ratio,
+         round(case when len(toks) > 0
+               then len(list_distinct(toks)) / len(toks) else 0.0 end, 6) as distinct_ratio,
+         round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (case when length(text) > 0
+                      then length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)
+                      else 0.0 end)
+             + 0.2 * (case when len(toks) > 0
+                      then len(list_distinct(toks)) / len(toks) else 0.0 end)
+             + 0.1 * least((case when len(toks) > 0
+                      then len(list_filter(toks, t -> list_contains([{sw}], t))) / len(toks)
+                      else 0.0 end) * 5.0, 1.0), 6) as quality_score
+  from (select *, regexp_extract_all(lower(text), '[a-z0-9]+') as toks from documents)""",
+        "lang_id": f"""
+  with hits as (
+    select doc_id, {lang_hit_cols}
+    from (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as toks from documents)
+  ),
+  best as (select *, {lang_best_hits} as best_hits from hits)
+  select doc_id, {lang_pred} as pred_lang, best_hits::BIGINT as profile_hits
+  from best""",
+        "content_fingerprint": """
+  select doc_id,
+         md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) as fingerprint
+  from documents""",
+        "chunk_fixed_token_length": f"""
+  with ta as ({SQL_TOKARR})
+  select doc_id,
+         ((i - 1) // {step})::BIGINT as chunk_idx,
+         array_to_string(toks[i:least(i + {CHUNK_LIMIT - 1}, len(toks))], ' ') as chunk_text,
+         (least(i + {CHUNK_LIMIT - 1}, len(toks)) - i + 1)::BIGINT as n_chunk_tokens
+  from ta, unnest(generate_series(1, len(toks), {step})) as t(i)
+  where len(toks) > 0""",
+        "chunk_delimiter": f"""
+  select doc_id, (i - 1)::BIGINT as chunk_idx, parts[i] as chunk_text
+  from (select doc_id, string_split(text, '{DELIM}') as parts from documents),
+       unnest(generate_series(1, len(parts))) as t(i)
+  where length(parts[i]) > 0""",
+        "cosine_top10": f"""
+  with q as (select embedding::DOUBLE[] as qe from embeddings where vec_id = 0),
+  scored as (
+    select vec_id,
+           round(list_dot_product(embedding::DOUBLE[], qe)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qe, qe))), 6) as cosine
+    from embeddings, q
+  )
+  {_sql_rank("scored", "cosine", "vec_id", K)}""",
+        # lsh_cosine_top10 intentionally omitted → rows-only check (plane
+        # construction is hash-derived; validated against exact cosine in
+        # pytest instead)
+        "events_hourly_agg": """
+  select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+         event_type, count(*)::BIGINT as n_events, round(sum(value), 6) as sum_value
+  from events group by 1, 2""",
+        "events_search_after": f"""
+  select strftime(ts, '%Y-%m-%d %H:%M:%S.%f') as ts, event_id::BIGINT as event_id, event_type
+  from events
+  where ts > TIMESTAMP '{EVENT_CURSOR_TS}'
+     or (ts = TIMESTAMP '{EVENT_CURSOR_TS}' and event_id > 0)
+  order by 1, 2 limit 20""",
+        "lineitem_agg": """
+  select l_returnflag, l_linestatus,
+         round(sum(l_quantity), 6) as sum_qty,
+         round(sum(l_extendedprice), 6) as sum_price,
+         round(avg(l_discount), 6) as avg_disc,
+         count(*)::BIGINT as cnt
+  from lineitem group by 1, 2""",
+        "orders_join_agg": """
+  select o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) as revenue,
+         count(*)::BIGINT as cnt
+  from lineitem join orders on l_orderkey = o_orderkey
+  group by 1""",
+    }

@@ -1,0 +1,26 @@
+"""Training-data pipeline operators over document tables.
+
+All operators are declarative DataFrame dataflow (JVM-side expressions,
+codegen'd); Python appears only inside vectorized pandas UDFs. Every
+operator is paired with an ANSI-SQL oracle in ``__spark_entry__.py``.
+"""
+
+from neural_search_spark.ops.text import (  # noqa: F401
+    hash60,
+    lang_id,
+    quality_features,
+    token_count,
+    content_fingerprint,
+)
+from neural_search_spark.ops.dedup import (  # noqa: F401
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_col,
+    simhash,
+)
+from neural_search_spark.ops.chunking import (  # noqa: F401
+    chunk_delimiter,
+    chunk_fixed_token_length,
+)
+from neural_search_spark.ops.similarity import cosine_topk, lsh_cosine_topk  # noqa: F401

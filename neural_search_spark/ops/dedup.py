@@ -1,0 +1,164 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle on a 16-byte key (not the full text);
+- MinHash/LSH is the scale path for near-dup: per-doc signatures are k
+  aggregates over a single shingle explode (one shuffle on doc id — in
+  practice map-side, since shingles of one doc are colocated), band
+  buckets then shuffle on (band, signature) where each bucket is tiny;
+- the pairwise n-gram Jaccard join is the *verification* step, run only on
+  LSH candidate pairs (or standalone on small slices — it is quadratic per
+  shared shingle and must never run raw at 10^12 docs);
+- SimHash aggregates 32 bit-majorities per doc via one explode + groupBy.
+
+All hashing is `hash60` (md5-based) so the DuckDB oracle reproduces results
+bit-for-bit; xxhash64 would be faster JVM-side but is not reproducible in
+the oracle — at production scale swap HASH_IMPL to xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_col
+from neural_search_spark.ops.text import hash60
+
+
+def shingle_col(toks: Column, n: int = 3) -> Column:
+    """array<string> tokens → array<string> of n-token shingles (space
+    joined). Docs shorter than n tokens produce their full token string as
+    the single shingle, so no doc is dropped."""
+    short = F.concat_ws(" ", toks)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    full = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, full).otherwise(F.array(short))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by md5(text): one row per distinct text with the survivor
+    (min id) and the duplicate count. Shuffle key is the 32-char digest, not
+    the document body."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dupes"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingle_col(tokenize_col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) MinHash signature: mh_j = min over shingles of
+    hash60(j || '|' || shingle). k min-aggregates over one explode — no
+    cross-join row blowup."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that agree on ≥1 LSH band.
+    rows-per-band = num_hashes/bands; band key = md5 of the band's minhash
+    values. The self-join is per-bucket; buckets are tiny unless the corpus
+    has true heavy duplication (then AQE skew-join splits them)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + i}") for i in range(r)]
+        band_rows.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(b_, ["band", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+    If `candidates` (id_a, id_b) is given — normally the LSH output — only
+    those pairs are verified (the scale path); without it this is the
+    exact-but-quadratic variant for small corpora."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) — bit-majority SimHash over shingle hash60 values
+    (lowest `bits` bits). Bit j of the output is set iff at least half the
+    shingles have bit j set (ties → set). Pure explode + groupBy: the bit
+    expansion is `bits` column expressions, not a row blowup."""
+    sh = _doc_shingles(df, text_col, id_col, n).select(
+        "id", (hash60(F.col("shingle")) % F.lit(1 << bits)).alias("h")
+    )
+    aggs = [F.sum(F.shiftright(F.col("h"), j) % 2).alias(f"b{j}") for j in range(bits)]
+    counted = sh.groupBy("id").agg(F.count("*").alias("n_sh"), *aggs)
+    val = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = (F.lit(2) * F.col(f"b{j}") >= F.col("n_sh")).cast("long")
+        val = val + F.shiftleft(bit, j)
+    return counted.select("id", val.alias("simhash"))

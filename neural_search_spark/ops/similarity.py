@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- `cosine_topk`: brute-force exact cosine top-k — the correctness baseline.
+  Dot products are JVM-side `aggregate(zip_with(...))` folds in double
+  precision (whole-stage codegen; no Python, no shuffle until the final
+  TakeOrderedAndProject top-k).
+- `lsh_cosine_topk`: the scale path — random-hyperplane (sign) LSH with
+  deterministic hash-derived planes; candidates = vectors whose bucket is
+  within `probe_hamming` bits of the query bucket, then exact cosine rerank.
+  At 10^12 vectors the bucket column is a partition/cluster key so a probe
+  touches only matching files; brute force stays O(N) per query.
+
+The plane coefficients are ±1 derived from md5(plane||dim) — fully
+deterministic, reproducible in any engine, no stored model state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neural_search_spark.ops.text import hash60
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(rank, id, cosine) exact top-k by cosine(query, embedding), ties by id
+    asc. The query vector is a literal array folded into codegen — no join.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 9)
+    scored = emb.select(F.col(id_col), cos.alias("cosine"))
+    top = scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", id_col, "cosine")
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 coefficient for hyperplane `plane`, dimension `dim`
+    (parity of the md5-derived hash60)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit p = 1 iff Σ_d sgn(h(p,d))·v[d] ≥ 0."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.lit(0.0)
+        for d in range(dim):
+            s = _plane_sign(p, d)
+            proj = proj + F.lit(float(s)) * F.element_at(vec_col, d + 1).cast("double")
+        bucket = bucket + F.shiftleft((proj >= 0).cast("int"), p)
+    return bucket
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: restrict to vectors whose LSH bucket is within
+    `probe_hamming` bits of the query's bucket, then exact cosine rerank.
+    Recall rises with probe_hamming (== n_planes → exhaustive == exact)."""
+    dim = len(query_vec)
+    q_bucket = 0
+    for p in range(n_planes):
+        proj = sum(_plane_sign(p, d) * float(query_vec[d]) for d in range(dim))
+        q_bucket |= int(proj >= 0) << p
+    bucket = lsh_bucket_col(F.col(vec_col), dim, n_planes)
+    hamming = F.bit_count(bucket.cast("long").bitwiseXOR(F.lit(q_bucket).cast("long")))
+    cand = emb.where(hamming <= probe_hamming)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

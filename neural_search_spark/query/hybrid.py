@@ -1,0 +1,141 @@
+"""Hybrid multi-sub-query fusion: per-sub-query top-k → score normalization
+→ weighted combination → final top-k.
+
+Reference semantics reproduced exactly:
+- ≤5 sub-queries, each keeps its own top-k
+  (query/HybridQueryBuilder.java:56; search/collector/
+  HybridTopScoreDocCollector.java:96-134);
+- min_max normalization with MIN_SCORE=0.001 clamp for a 0-normalized score
+  and 1.0 for the single-result (max==min==score) edge case
+  (processor/normalization/MinMaxScoreNormalizationTechnique.java:26-27,
+  108-115);
+- l2: score/√Σscore², 0 when the norm is 0
+  (processor/normalization/L2ScoreNormalizationTechnique.java:53-97);
+- combination over the per-doc score vector where a doc missing from a
+  sub-query's list contributes 0.0 (ScoreCombiner.java:265-279):
+  arithmetic mean includes 0-scores (weight counted,
+  ArithmeticMeanScoreCombinationTechnique.java:43-56), geometric/harmonic
+  skip s≤0 (GeometricMean…java:41-56, HarmonicMean…java:39-53);
+  absent weights default to 1.0 per sub-query (ScoreCombinationUtil.java:87);
+- final ordering score desc, docID asc (ScoreCombiner.java:37-50).
+
+Plan shape: each sub-query's top-k is a TakeOrderedAndProject (bounded);
+normalization stats are a per-subquery groupBy over ≤5k rows broadcast back;
+the pivot/combination runs on ≤ 5·k rows — everything after the sub-query
+scans is effectively driver-scale, matching the reference's coordinator
+fusion stage, but stays in DataFrame land so it composes with further ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neural_search_spark import B, K1
+from neural_search_spark.index.build import IndexTables
+from neural_search_spark.query.bm25 import bm25_score_all
+
+MIN_SCORE = 0.001  # MinMaxScoreNormalizationTechnique.java:26
+MAX_SUBQUERIES = 5  # HybridQueryBuilder.java:56
+
+
+def per_subquery_topk(scores: DataFrame, k: int) -> DataFrame:
+    """Bound each sub-query's result list to its own top-k (rank by score
+    desc, docID asc within subquery_idx)."""
+    w = Window.partitionBy("subquery_idx").orderBy(F.col("score").desc(), F.col("docID").asc())
+    return scores.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k).drop("_r")
+
+
+def normalize_scores(scores: DataFrame, technique: str = "min_max") -> DataFrame:
+    """(subquery_idx, docID, score) → adds `nscore`. Stats are computed per
+    sub-query over the (already top-k-bounded) result lists."""
+    if technique == "min_max":
+        stats = scores.groupBy("subquery_idx").agg(
+            F.min("score").alias("_min"), F.max("score").alias("_max")
+        )
+        joined = scores.join(F.broadcast(stats), "subquery_idx")
+        raw = (F.col("score") - F.col("_min")) / (F.col("_max") - F.col("_min"))
+        nscore = (
+            F.when((F.col("_max") == F.col("_min")) & (F.col("_max") == F.col("score")), F.lit(1.0))
+            .when(raw == 0.0, F.lit(MIN_SCORE))
+            .otherwise(raw)
+        )
+    elif technique == "l2":
+        stats = scores.groupBy("subquery_idx").agg(F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("_l2"))
+        joined = scores.join(F.broadcast(stats), "subquery_idx")
+        nscore = F.when(F.col("_l2") == 0.0, F.lit(0.0)).otherwise(F.col("score") / F.col("_l2"))
+    else:
+        raise ValueError(f"unknown normalization technique: {technique}")
+    return joined.withColumn("nscore", nscore).drop("_min", "_max", "_l2")
+
+
+def combine_scores(
+    normalized: DataFrame,
+    n_subqueries: int,
+    technique: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """(subquery_idx, docID, nscore) → (docID, score) combined. Missing
+    sub-query scores are 0.0 (ScoreCombiner.java:271 zero-init)."""
+    if weights is not None:
+        if len(weights) != n_subqueries:
+            raise ValueError("number of weights must match number of sub-queries")
+        if any(not 0.0 <= w <= 1.0 for w in weights) or abs(sum(weights) - 1.0) > 0.01:
+            raise ValueError("weights must be in [0,1] and sum to 1.0 (ScoreCombinationUtil.java:119-140)")
+        ws = weights
+    else:
+        ws = [1.0] * n_subqueries
+
+    pivoted = (
+        normalized.groupBy("docID")
+        .pivot("subquery_idx", list(range(n_subqueries)))
+        .agg(F.first("nscore"))
+    )
+    cols = [F.coalesce(F.col(str(j)), F.lit(0.0)) for j in range(n_subqueries)]
+
+    if technique == "arithmetic_mean":
+        num = sum((F.lit(ws[j]) * cols[j] for j in range(n_subqueries)), F.lit(0.0))
+        den = sum((F.when(cols[j] >= 0.0, F.lit(ws[j])).otherwise(F.lit(0.0)) for j in range(n_subqueries)), F.lit(0.0))
+        combined = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    elif technique == "geometric_mean":
+        num = sum((F.when(cols[j] > 0.0, F.lit(ws[j]) * F.log(cols[j])).otherwise(F.lit(0.0)) for j in range(n_subqueries)), F.lit(0.0))
+        den = sum((F.when(cols[j] > 0.0, F.lit(ws[j])).otherwise(F.lit(0.0)) for j in range(n_subqueries)), F.lit(0.0))
+        combined = F.when(den == 0.0, F.lit(0.0)).otherwise(F.exp(num / den))
+    elif technique == "harmonic_mean":
+        num = sum((F.when(cols[j] > 0.0, F.lit(ws[j])).otherwise(F.lit(0.0)) for j in range(n_subqueries)), F.lit(0.0))
+        den = sum((F.when(cols[j] > 0.0, F.lit(ws[j]) / cols[j]).otherwise(F.lit(0.0)) for j in range(n_subqueries)), F.lit(0.0))
+        combined = F.when(den > 0.0, num / den).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(f"unknown combination technique: {technique}")
+
+    return pivoted.select("docID", combined.alias("score"))
+
+
+def hybrid_topk(
+    index: IndexTables,
+    subqueries: list[dict[str, float] | list[str]],
+    k: int = 10,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    subquery_k: int | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Full hybrid pipeline over BM25 sub-queries → (rank, docID, score)."""
+    if not 1 <= len(subqueries) <= MAX_SUBQUERIES:
+        raise ValueError(f"hybrid query accepts 1..{MAX_SUBQUERIES} sub-queries (HybridQueryBuilder.java:56)")
+    subquery_k = subquery_k or k
+    per = []
+    for idx, terms in enumerate(subqueries):
+        s = bm25_score_all(index.postings, index.doclens, index.term_stats, index.meta, terms, k1, b)
+        per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
+    union = per[0]
+    for p in per[1:]:
+        union = union.unionByName(p)
+    bounded = per_subquery_topk(union, subquery_k)
+    normalized = normalize_scores(bounded, normalization)
+    combined = combine_scores(normalized, len(subqueries), combination, weights)
+    top = combined.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("docID").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "docID", "score")
