@@ -115,12 +115,28 @@ def _sql_minhash_sig() -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf* fixtures are single small parquet files → one input split; fan
+    # out so token/hash-heavy downstream work uses every core (at real scale
+    # the scan itself yields thousands of splits and this is a no-op cost)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+_INDEX_CACHE: dict[str, object] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str):
-    t = build_index_tables(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
-    return t
+    """Index tables for the documents fixture, built once per process and
+    persisted — the contract runs ~30 queries against the same corpus."""
+    key = sf_dir
+    if key not in _INDEX_CACHE:
+        t = build_index_tables(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+        t.postings = t.postings.persist()
+        t.doclens = t.doclens.persist()
+        t.term_stats = t.term_stats.persist()
+        _INDEX_CACHE[key] = t
+    return _INDEX_CACHE[key]
 
 
 def _ranked(df: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
@@ -324,7 +340,9 @@ def q_chunk_delimiter(spark, sf_dir):
 
 
 def q_cosine_top10(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return ops.cosine_topk(emb, [float(x) for x in qvec], k=K).select(
         F.col("rank").cast("long").alias("rank"),
@@ -334,7 +352,9 @@ def q_cosine_top10(spark, sf_dir):
 
 
 def q_lsh_cosine_top10(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return ops.lsh_cosine_topk(emb, [float(x) for x in qvec], k=K).select(
         F.col("rank").cast("long").alias("rank"),

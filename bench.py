@@ -1,0 +1,119 @@
+"""Per-round benchmark harness (driver contract).
+
+Measures (a) full index-build throughput (tokenize → postings → compressed
+block segments written as sharded parquet) over the deterministic synthetic
+transcripts table, and (b) the headline query suite over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": <suite total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "index_build": {...}}
+All diagnostics go to stderr. Scaling-efficiency evidence across two
+parallelism levels is produced by tools/scaling_bench.py (see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from neural_search_spark.data import assign_doc_ids, synthesize_transcripts
+    from neural_search_spark.index.build import build_index_tables
+    from neural_search_spark.index.segments import build_segments, write_segments
+    from neural_search_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("BENCH_TURNS", "200000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    t_start = time.time()
+
+    # --- index build throughput ------------------------------------------
+    seg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp", "segments")
+    shutil.rmtree(os.path.dirname(seg_path), ignore_errors=True)
+    t0 = time.time()
+    tr = assign_doc_ids(synthesize_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10))
+    t_docids = time.time()
+    tables = build_index_tables(tr)
+    tables.postings = tables.postings.persist()
+    tables.doclens = tables.doclens.persist()
+    n_postings = tables.postings.count()
+    tables.doclens.count()
+    t_postings = time.time()
+    meta = tables.meta.first()
+    pdl = tables.postings.join(tables.doclens, "docID")
+    segs = build_segments(
+        pdl, avgdl=float(meta["avgdl"]), max_doc_id=int(meta["N"]) - 1, term_stats=tables.term_stats
+    )
+    write_segments(segs, seg_path)
+    t_segments = time.time()
+    build_sec = t_segments - t0
+    stage_secs = {
+        "docid_assign": round(t_docids - t0, 3),
+        "postings_build": round(t_postings - t_docids, 3),
+        "segment_encode_write": round(t_segments - t_postings, 3),
+    }
+    log(f"stages: {stage_secs} ({n_postings} postings)")
+    n_blocks = spark.read.parquet(seg_path).count()
+    throughput = n_turns / build_sec
+    log(f"index build: {n_turns} turns in {build_sec:.1f}s = {throughput:.0f} turns/s, {n_blocks} blocks")
+    shutil.rmtree(os.path.dirname(seg_path), ignore_errors=True)
+
+    # --- headline queries -------------------------------------------------
+    qnames = [
+        "bm25_top10",
+        "bm25_weighted_top10",
+        "two_phase_sparse_top10",
+        "hybrid_minmax_arithmetic",
+        "token_term_counts",
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "simhash",
+        "cosine_top10",
+        "chunk_fixed_token_length",
+    ]
+    qfns = entry.queries()
+    times: dict[str, float] = {}
+    for name in qnames:
+        t0 = time.time()
+        n = qfns[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        log(f"query {name}: {times[name]}s ({n} rows)")
+
+    total = round(time.time() - t_start, 3)
+    out = {
+        "metric": "index_build_plus_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "index_build": {
+            "turns": n_turns,
+            "build_sec": round(build_sec, 3),
+            "turns_per_sec": round(throughput, 1),
+            "cpus": cpus,
+            "posting_blocks": n_blocks,
+            "stages": stage_secs,
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

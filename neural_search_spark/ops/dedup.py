@@ -86,27 +86,35 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, n, num_hashes)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + i}") for i in range(r)]
-        band_rows.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_key"),
-            )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    return (
-        a.join(b_, ["band", "band_key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    band_keys = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * r + i}").cast("string") for i in range(r)]))
+        for b in range(bands)
+    ]
+    # ONE pass over the signatures: posexplode the band keys (a self-join on
+    # a banded view would recompute the minhash pipeline once per side)
+    banded = sig.select("id", F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
+    # pair generation bucket-side: buckets are tiny (near-dup clusters), so
+    # collect ids per bucket and emit ordered pairs — a single shuffle on
+    # (band, band_key), no second scan of the signatures
+    grouped = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
