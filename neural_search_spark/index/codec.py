@@ -81,3 +81,34 @@ def encode_docids(docids: np.ndarray) -> bytes:
 
 def decode_docids(buf: bytes, count: int | None = None) -> np.ndarray:
     return delta_decode(varint_decode(buf, count))
+
+
+def decode_blocks_batch(
+    docid_bufs: list[bytes], tf_bufs: list[bytes], dl_bufs: list[bytes], ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting blocks in one vectorized pass (query-time hot
+    path — one varint_decode over the concatenated buffers instead of a
+    Python loop per block).
+
+    Per-block delta streams start with an absolute first value, so a global
+    cumsum over the concatenated deltas restores each block's docIDs after
+    subtracting the running total accumulated before that block's start.
+
+    Returns (block_idx, docids, tfs, dls) — flat, aligned arrays; block_idx
+    maps each posting back to its source row for term/weight lookup.
+    """
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, np.uint64), np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    deltas = varint_decode(b"".join(docid_bufs), total)
+    tfs = varint_decode(b"".join(tf_bufs), total)
+    dls = varint_decode(b"".join(dl_bufs), total)
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    base = np.zeros(len(ns), dtype=np.uint64)
+    base[1:] = csum[starts[1:] - 1]
+    block_idx = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+    docids = csum - base[block_idx]
+    return block_idx, docids, tfs, dls

@@ -1,0 +1,241 @@
+"""Persistent sharded index store: staged build with per-stage lineage
+manifests and checkpoint-resume.
+
+Layout under `out_dir/`:
+    docs/           parquet — transcripts + stable docID (fetch-phase source)
+    doclens/        parquet — (docID, dl)
+    term_stats/     parquet — (term, df) exact
+    segments/       parquet, dir-partitioned by shard — compressed blocks
+    meta.json       {N, avgdl, tokenizer_hash, codec_version, source_fingerprint}
+    _manifests/{stage}.json
+
+Resume contract (north rule "resumable from checkpoint with per-partition
+lineage"): each stage writes its parquet output, then atomically writes a
+manifest recording its input fingerprint — a hash chain over
+(source_fingerprint, tokenizer_hash, codec_version, upstream manifest
+fingerprints) — plus row count, content checksum and wall seconds. A re-run
+skips any stage whose manifest fingerprint matches the recomputed
+expectation AND whose output exists; a kill between stages therefore resumes
+exactly where it stopped, and a changed tokenizer/codec/source invalidates
+every downstream stage automatically. The reference has no equivalent
+(Lucene ingest is transactional per-shard); this is the Spark-idiomatic
+replacement for its ingest durability.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenizer_hash
+from neural_search_spark.data.docids import assign_doc_ids
+from neural_search_spark.index.build import (
+    build_doclens,
+    build_postings,
+    build_term_stats,
+)
+from neural_search_spark.index.codec import CODEC_VERSION
+from neural_search_spark.index.segments import build_segments, write_segments
+
+STAGES = ["docs", "doclens", "term_stats", "segments"]
+
+
+def _content_checksum(df: DataFrame) -> str:
+    """Order-insensitive content checksum: sum of per-row xxhash64 over all
+    columns (internal lineage only — not an engine-parity surface)."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    row = df.agg(
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),  # no long overflow (ANSI)
+        F.count("*").alias("n"),
+    ).first()
+    return f"{row['h']}:{row['n']}"
+
+
+@dataclass
+class StageResult:
+    stage: str
+    skipped: bool
+    rows: int
+    wall_sec: float
+
+
+class IndexStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    # --- open-time accessors (lazy scans; segments scan prunes by shard) --
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+
+    @property
+    def doclens(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doclens"))
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "segments"))
+
+    def topk(self, terms, k: int = 10, prune: bool = True) -> DataFrame:
+        from neural_search_spark.query.segment_search import wand_topk
+
+        return wand_topk(
+            self.segments,
+            self.term_stats,
+            n_docs=self.meta["N"],
+            avgdl=self.meta["avgdl"],
+            terms=terms,
+            k=k,
+            prune=prune,
+        )
+
+    def fetch(self, topk: DataFrame) -> DataFrame:
+        """Join top-k hits back to the source turns (fetch phase — reference
+        NormalizationProcessorWorkflow.java:180-229); the k-row side is
+        broadcast, never the corpus."""
+        return self.docs.join(F.broadcast(topk), "docID").orderBy("rank")
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "_manifests", f"{stage}.json")
+
+
+def _read_manifest(out_dir: str, stage: str) -> dict | None:
+    p = _manifest_path(out_dir, stage)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, stage: str, payload: dict) -> None:
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    tmp = _manifest_path(out_dir, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir, stage))  # atomic commit
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    source_fingerprint: str,
+    postings_per_salt: int | None = None,
+    resume: bool = True,
+) -> list[StageResult]:
+    """Staged, resumable index build. Returns per-stage results (with
+    skipped=True for stages satisfied by a valid manifest)."""
+    results: list[StageResult] = []
+    base = hashlib.sha256(
+        json.dumps(
+            {
+                "source": source_fingerprint,
+                "tokenizer": tokenizer_hash(),
+                "codec": CODEC_VERSION,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+    upstream_checksums: list[str] = []
+
+    def run_stage(stage: str, producer) -> None:
+        # fingerprint covers the full config hash AND every upstream stage's
+        # content checksum — a config change invalidates all stages, an
+        # upstream content change invalidates everything downstream
+        fingerprint = hashlib.sha256(
+            f"{base}:{stage}:{':'.join(upstream_checksums)}".encode()
+        ).hexdigest()
+        man = _read_manifest(out_dir, stage) if resume else None
+        out_path = os.path.join(out_dir, stage)
+        if man and man.get("fingerprint") == fingerprint and os.path.exists(out_path):
+            results.append(StageResult(stage, True, man["rows"], 0.0))
+            upstream_checksums.append(man["checksum"])
+            return
+        t0 = time.time()
+        rows, checksum = producer(out_path)
+        _write_manifest(
+            out_dir,
+            stage,
+            {
+                "stage": stage,
+                "fingerprint": fingerprint,
+                "rows": rows,
+                "checksum": checksum,
+                "codec_version": CODEC_VERSION,
+                "tokenizer_hash": tokenizer_hash(),
+                "wall_sec": round(time.time() - t0, 3),
+            },
+        )
+        results.append(StageResult(stage, False, rows, time.time() - t0))
+        upstream_checksums.append(checksum)
+
+    def produce_docs(out_path: str):
+        docs = assign_doc_ids(transcripts)
+        docs.write.mode("overwrite").parquet(out_path)
+        written = spark.read.parquet(out_path)
+        return written.count(), _content_checksum(written)
+
+    run_stage("docs", produce_docs)
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+
+    def produce_doclens(out_path: str):
+        dl = build_doclens(docs)
+        dl.write.mode("overwrite").parquet(out_path)
+        written = spark.read.parquet(out_path)
+        return written.count(), _content_checksum(written)
+
+    run_stage("doclens", produce_doclens)
+    doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
+
+    def produce_term_stats(out_path: str):
+        stats = build_term_stats(build_postings(docs))
+        stats.write.mode("overwrite").parquet(out_path)
+        written = spark.read.parquet(out_path)
+        return written.count(), _content_checksum(written)
+
+    run_stage("term_stats", produce_term_stats)
+    term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+
+    m = doclens.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = int(m["N"]), float(m["avgdl"])
+
+    def produce_segments(out_path: str):
+        pdl = build_postings(docs).join(doclens, "docID")
+        kwargs = {}
+        if postings_per_salt is not None:
+            kwargs["postings_per_salt"] = postings_per_salt
+        segs = build_segments(pdl, avgdl=avgdl, max_doc_id=n_docs - 1, term_stats=term_stats, **kwargs)
+        write_segments(segs, out_path)
+        written = spark.read.parquet(out_path)
+        return written.count(), _content_checksum(written.drop("shard"))
+
+    run_stage("segments", produce_segments)
+
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "N": n_docs,
+                "avgdl": avgdl,
+                "tokenizer_hash": tokenizer_hash(),
+                "codec_version": CODEC_VERSION,
+                "source_fingerprint": source_fingerprint,
+            },
+            f,
+            indent=2,
+            sort_keys=True,
+        )
+    return results

@@ -1,0 +1,173 @@
+"""Segment build, block-max WAND query path, and checkpoint-resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.codec import decode_blocks_batch, encode_docids, varint_encode
+from neural_search_spark.index.segments import BLOCK_SIZE, build_segments
+from neural_search_spark.index.store import IndexStore, build_index
+from neural_search_spark.query.bm25 import bm25_topk
+from neural_search_spark.query.segment_search import wand_topk
+
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def pdl(index_tables):
+    return index_tables.postings.join(index_tables.doclens, "docID")
+
+
+@pytest.fixture(scope="module")
+def segments(spark, index_tables, pdl):
+    m = index_tables.meta.first()
+    seg = build_segments(
+        pdl,
+        avgdl=float(m["avgdl"]),
+        max_doc_id=int(m["N"]) - 1,
+        block_size=16,  # small blocks → multi-block lists in the fixture
+        postings_per_salt=50,  # head terms (df>50) get salted
+        term_stats=index_tables.term_stats,
+    ).persist()
+    seg.count()
+    return seg
+
+
+def test_decode_blocks_batch_roundtrip():
+    rng = np.random.RandomState(7)
+    blocks = []
+    for _ in range(20):
+        n = rng.randint(1, 40)
+        ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.uint64)
+        tf = rng.randint(1, 9, size=n).astype(np.uint64)
+        dl = rng.randint(5, 300, size=n).astype(np.uint64)
+        blocks.append((ids, tf, dl))
+    bidx, ids, tfs, dls = decode_blocks_batch(
+        [encode_docids(b[0]) for b in blocks],
+        [varint_encode(b[1]) for b in blocks],
+        [varint_encode(b[2]) for b in blocks],
+        np.array([len(b[0]) for b in blocks]),
+    )
+    off = 0
+    for i, (eids, etf, edl) in enumerate(blocks):
+        n = len(eids)
+        assert (bidx[off : off + n] == i).all()
+        assert ids[off : off + n].tolist() == eids.tolist()
+        assert tfs[off : off + n].tolist() == etf.tolist()
+        assert dls[off : off + n].tolist() == edl.tolist()
+        off += n
+
+
+def test_segment_invariants(segments, index_tables):
+    rows = segments.collect()
+    assert rows, "no segments built"
+    # every block: strictly increasing docIDs, max_score_component correct
+    m = index_tables.meta.first()
+    avgdl = float(m["avgdl"])
+    from neural_search_spark.index.codec import decode_docids, varint_decode
+
+    salted = set()
+    for r in rows:
+        ids = decode_docids(r["docids"], r["n"])
+        assert (np.diff(ids.astype(np.int64)) > 0).all() if len(ids) > 1 else True
+        assert ids[0] == r["first_docID"] and ids[-1] == r["last_docID"]
+        tf = varint_decode(r["tfs"], r["n"]).astype(np.float64)
+        dl = varint_decode(r["dls"], r["n"]).astype(np.float64)
+        comp = tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert abs(comp.max() - r["max_score_component"]) < 1e-6
+        assert r["n"] <= 16
+        if r["salt"] > 0:
+            salted.add(r["term"])
+    assert salted, "expected salted head terms with postings_per_salt=50"
+    # postings conservation: total decoded postings == postings rows
+    total = sum(r["n"] for r in rows)
+    assert total == index_tables.postings.count()
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [
+        ["the", "spark", "query"],
+        {"data": 2.0, "index": 1.0, "zzz_missing": 3.0},
+        ["tok5"],
+        ["cache", "heap", "scan", "the", "a", "of"],
+    ],
+)
+def test_wand_topk_matches_relational_and_oracle(
+    spark, transcripts, index_tables, segments, terms
+):
+    m = index_tables.meta.first()
+    docs = {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
+    exp = oracle.topk(oracle.bm25_scores(docs, terms), 10)
+
+    for prune in (False, True):
+        got = wand_topk(
+            segments,
+            index_tables.term_stats,
+            n_docs=int(m["N"]),
+            avgdl=float(m["avgdl"]),
+            terms=terms,
+            k=10,
+            prune=prune,
+        ).collect()
+        assert [r["docID"] for r in got] == [d for d, _ in exp], f"prune={prune}"
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+
+    rel = bm25_topk(
+        index_tables.postings, index_tables.doclens, index_tables.term_stats,
+        index_tables.meta, terms, k=10,
+    ).collect()
+    got = wand_topk(
+        segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]), terms, k=10
+    ).collect()
+    assert [(r["docID"], pytest.approx(r["score"], rel=1e-9)) for r in got] == [
+        (r["docID"], r["score"]) for r in rel
+    ]
+
+
+def test_store_build_and_resume(spark, tmp_path):
+    from neural_search_spark.data import synthesize_transcripts
+
+    tr = synthesize_transcripts(spark, n_convs=15, turns_per_conv=8, seed=42)
+    out = str(tmp_path / "idx")
+
+    r1 = build_index(spark, tr, out, source_fingerprint="synth:15x8:42", postings_per_salt=50)
+    assert [s.skipped for s in r1] == [False] * 4
+
+    store = IndexStore(spark, out)
+    docs = {r["docID"]: r["text"] for r in store.docs.select("docID", "text").collect()}
+    exp = oracle.topk(oracle.bm25_scores(docs, ["the", "data", "spark"]), 5)
+    got = store.topk(["the", "data", "spark"], k=5).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+    # fetch joins hits back to turns
+    fetched = store.fetch(store.topk(["the", "data", "spark"], k=5)).collect()
+    assert len(fetched) == 5 and all(f["text"] for f in fetched)
+
+    # full resume: everything skipped
+    r2 = build_index(spark, tr, out, source_fingerprint="synth:15x8:42", postings_per_salt=50)
+    assert [s.skipped for s in r2] == [True] * 4
+
+    # kill-simulation: drop the segments manifest → only segments rebuilds,
+    # and the rebuilt index is content-identical
+    import os
+
+    seg_manifest = os.path.join(out, "_manifests", "segments.json")
+    before = sorted(
+        (r["term"], r["salt"], r["blockID"], bytes(r["docids"]).hex())
+        for r in store.segments.collect()
+    )
+    os.remove(seg_manifest)
+    r3 = build_index(spark, tr, out, source_fingerprint="synth:15x8:42", postings_per_salt=50)
+    assert [s.skipped for s in r3] == [True, True, True, False]
+    after = sorted(
+        (r["term"], r["salt"], r["blockID"], bytes(r["docids"]).hex())
+        for r in IndexStore(spark, out).segments.collect()
+    )
+    assert before == after
+
+    # changed source fingerprint invalidates every stage
+    r4 = build_index(spark, tr, out, source_fingerprint="synth:OTHER")
+    assert [s.skipped for s in r4] == [False] * 4
