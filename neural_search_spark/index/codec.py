@@ -26,20 +26,35 @@ _MAX_BYTES = 10  # 64 bits / 7
 
 def varint_encode(values: np.ndarray) -> bytes:
     """uint64 array -> varint byte stream."""
+    buf, _ = varint_encode_all(values)
+    return buf
+
+
+def varint_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like varint_encode, but also returns the encoded byte length of each
+    value, so callers can slice the stream into sub-ranges (per posting
+    block) without re-encoding. One vectorized pass for ALL values of a
+    partition — the bulk-encode hot path."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     n = v.size
-    shifts = (np.arange(_MAX_BYTES, dtype=np.uint64) * np.uint64(7))[None, :]  # (1, 10)
-    chunks = (v[:, None] >> shifts) & np.uint64(0x7F)  # (n, 10)
-    remaining = v[:, None] >> (shifts + np.uint64(7))  # value beyond this byte?
-    needed = remaining != 0  # byte k+1 needed
-    used = np.ones((n, _MAX_BYTES), dtype=bool)
-    used[:, 1:] = needed[:, :-1]
-    used = np.logical_and.accumulate(used, axis=1)  # prefix: bytes 0..len-1
+    # adapt the work-matrix width to the largest value present — posting
+    # deltas/tfs need 1-3 bytes, so this cuts temp memory traffic ~5x vs a
+    # fixed 10-byte matrix (the encode stage is memory-bandwidth-bound)
+    mx = int(v.max())
+    width = max(1, (mx.bit_length() + 6) // 7)
+    shifts = (np.arange(width, dtype=np.uint64) * np.uint64(7))[None, :]
+    chunks = (v[:, None] >> shifts) & np.uint64(0x7F)
+    remaining = v[:, None] >> (shifts + np.uint64(7))
+    needed = remaining != 0
+    used = np.ones((n, width), dtype=bool)
+    if width > 1:
+        used[:, 1:] = needed[:, :-1]
+        used = np.logical_and.accumulate(used, axis=1)
     out = chunks.astype(np.uint8)
-    out[needed & used] |= 0x80  # continuation bit on all but last used byte
-    return out[used].tobytes()
+    out[needed & used] |= 0x80
+    return out[used].tobytes(), used.sum(axis=1).astype(np.int64)
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from neural_search_spark import B, K1
-from neural_search_spark.index.codec import encode_docids, varint_encode
+from neural_search_spark.index.codec import varint_encode_all
 
 BLOCK_SIZE = 128
 POSTINGS_PER_SALT = 250_000
@@ -73,28 +73,62 @@ def shard_col(term_col) -> F.Column:
     return F.pmod(F.xxhash64(term_col), F.lit(N_SHARDS)).cast("int")
 
 
-def _encode_group(term: str, salt: int, doc: np.ndarray, tf: np.ndarray, dl: np.ndarray, avgdl: float, block_size: int):
-    """One (term, salt) posting list → block rows. Input sorted by docID."""
-    comp = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
-    rows = []
-    for b0 in range(0, doc.size, block_size):
-        sl = slice(b0, min(b0 + block_size, doc.size))
-        d, t, ln, c = doc[sl], tf[sl], dl[sl], comp[sl]
-        rows.append(
-            (
-                term,
-                salt,
-                b0 // block_size,
-                int(d[0]),
-                int(d[-1]),
-                int(d.size),
-                np.float32(c.max()),
-                encode_docids(d.astype(np.uint64)),
-                varint_encode(t.astype(np.uint64)),
-                varint_encode(ln.astype(np.uint64)),
-            )
-        )
-    return rows
+def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+    """Vectorized multi-group encoder: one sorted (term, salt, docID) chunk →
+    block rows, with NO per-group Python loop. Group/block boundaries, delta
+    streams, varint bytes, and block max-score are all single numpy passes;
+    the only per-block Python is the final byte-slice/tuple assembly.
+    Wire-format-identical to encoding each block separately (each block's
+    delta stream starts with an absolute docID)."""
+    terms = chunk["term"].to_numpy()
+    salts = chunk["salt"].to_numpy(np.int64)
+    docs = chunk["docID"].to_numpy(np.int64).astype(np.uint64)
+    tfs = chunk["tf"].to_numpy(np.int64).astype(np.uint64)
+    dls = chunk["dl"].to_numpy(np.int64).astype(np.uint64)
+    n = len(chunk)
+
+    new_group = np.ones(n, dtype=bool)
+    new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    gstart = np.flatnonzero(new_group)
+    gid = np.cumsum(new_group) - 1
+    offset_in_group = np.arange(n, dtype=np.int64) - gstart[gid]
+    new_block = new_group | (offset_in_group % block_size == 0)
+    bstart = np.flatnonzero(new_block)
+    bend = np.concatenate((bstart[1:], [n]))
+    bid_global = np.cumsum(new_block) - 1
+    block_id = (bid_global - bid_global[gstart][gid])[bstart]
+
+    prev = np.empty_like(docs)
+    prev[0] = 0
+    prev[1:] = docs[:-1]
+    deltas = np.where(new_block, docs, docs - prev)
+
+    dbytes, dlens = varint_encode_all(deltas)
+    tbytes, tlens = varint_encode_all(tfs)
+    lbytes, llens = varint_encode_all(dls)
+    dcs = np.concatenate(([0], np.cumsum(dlens)))
+    tcs = np.concatenate(([0], np.cumsum(tlens)))
+    lcs = np.concatenate(([0], np.cumsum(llens)))
+
+    tf_f = tfs.astype(np.float64)
+    dl_f = dls.astype(np.float64)
+    comp = tf_f / (tf_f + K1 * (1.0 - B + B * dl_f / avgdl))
+    max_comp = np.maximum.reduceat(comp, bstart).astype(np.float32)
+
+    return pd.DataFrame(
+        {
+            "term": terms[bstart],
+            "salt": salts[bstart].astype(np.int32),
+            "blockID": block_id.astype(np.int32),
+            "first_docID": docs[bstart].astype(np.int64),
+            "last_docID": docs[bend - 1].astype(np.int64),
+            "n": (bend - bstart).astype(np.int32),
+            "max_score_component": max_comp,
+            "docids": [dbytes[dcs[s] : dcs[e]] for s, e in zip(bstart, bend)],
+            "tfs": [tbytes[tcs[s] : tcs[e]] for s, e in zip(bstart, bend)],
+            "dls": [lbytes[lcs[s] : lcs[e]] for s, e in zip(bstart, bend)],
+        }
+    )
 
 
 def build_segments(
@@ -152,21 +186,7 @@ def build_segments(
                 chunk = chunk.iloc[:cut]
                 if chunk.empty:
                     return None
-            out = []
-            terms = chunk["term"].to_numpy()
-            salts = chunk["salt"].to_numpy()
-            docs = chunk["docID"].to_numpy(np.int64)
-            tfs = chunk["tf"].to_numpy(np.int64)
-            dls = chunk["dl"].to_numpy(np.int64)
-            # group boundaries (sorted by term, salt)
-            change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(chunk)]))
-            for s, e in zip(starts, ends):
-                out.extend(
-                    _encode_group(terms[s], int(salts[s]), docs[s:e], tfs[s:e], dls[s:e], avgdl, block_size)
-                )
-            return pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+            return _encode_chunk(chunk, avgdl, block_size)
 
         for batch in batches:
             res = flush(batch, final=False)

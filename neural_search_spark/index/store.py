@@ -43,7 +43,7 @@ from neural_search_spark.index.build import (
 from neural_search_spark.index.codec import CODEC_VERSION
 from neural_search_spark.index.segments import build_segments, write_segments
 
-STAGES = ["docs", "doclens", "term_stats", "segments"]
+STAGES = ["docs", "postings", "doclens", "term_stats", "segments"]
 
 
 def _content_checksum(df: DataFrame) -> str:
@@ -192,6 +192,16 @@ def build_index(
     run_stage("docs", produce_docs)
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
 
+    def produce_postings(out_path: str):
+        # one tokenize+explode+groupBy pass, materialized; term_stats and
+        # segments read THIS parquet instead of re-deriving from raw text
+        build_postings(docs).write.mode("overwrite").parquet(out_path)
+        written = spark.read.parquet(out_path)
+        return written.count(), _content_checksum(written)
+
+    run_stage("postings", produce_postings)
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+
     def produce_doclens(out_path: str):
         dl = build_doclens(docs)
         dl.write.mode("overwrite").parquet(out_path)
@@ -202,7 +212,7 @@ def build_index(
     doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
 
     def produce_term_stats(out_path: str):
-        stats = build_term_stats(build_postings(docs))
+        stats = build_term_stats(postings)
         stats.write.mode("overwrite").parquet(out_path)
         written = spark.read.parquet(out_path)
         return written.count(), _content_checksum(written)
@@ -214,7 +224,7 @@ def build_index(
     n_docs, avgdl = int(m["N"]), float(m["avgdl"])
 
     def produce_segments(out_path: str):
-        pdl = build_postings(docs).join(doclens, "docID")
+        pdl = postings.join(doclens, "docID")
         kwargs = {}
         if postings_per_salt is not None:
             kwargs["postings_per_salt"] = postings_per_salt

@@ -1,0 +1,272 @@
+"""Dict-based query DSL → executable Spark plans; the analog of the
+reference's JSON query parsing surface (query/HybridQueryBuilder.fromXContent
+:149-223, query/NeuralSparseQueryBuilder.fromXContent:220-278, and the
+term/match lexical queries its tests exercise, HybridQueryIT.java:138-145).
+
+Supported query dicts::
+
+    {"match":        {FIELD: {"query": "free text", "boost": 1.0}}}
+    {"term":         {FIELD: {"value": "token", "boost": 1.0}}}
+    {"neural_sparse": {FIELD: {"query_tokens": {tok: w}, "boost": 1.0,
+                              "two_phase": {"prune_ratio": 0.4,
+                                            "expansion_rate": 5.0,
+                                            "max_window_size": 10000}}}}
+    {"hybrid":       {"queries": [q, ...],            # 1..5, no boost
+                      "normalization": "min_max" | "l2",
+                      "combination": "arithmetic_mean" | "geometric_mean"
+                                   | "harmonic_mean",
+                      "weights": [w, ...]}}           # optional
+    {"bool":         {"must": q, "filter": [pred, ...]}}
+    {"match_all": {}} / {"match_none": {}}
+
+Filter predicates (reference: FILTER clauses pushed into each sub-query,
+HybridQuery.java:43-60 — candidates restricted BEFORE scoring, collection
+stats stay global)::
+
+    {"eq": [column, value]}  {"in": [column, [v, ...]]}
+    {"range": {"column": c, "gte": v, "lte": v, "gt": v, "lt": v}}
+
+Semantics notes:
+- `match` analyzes the text with the engine analyzer; a term occurring m
+  times in the query contributes weight m×boost (Lucene sums duplicated
+  SHOULD term clauses the same way).
+- `term` skips analysis (exact token), like Lucene's TermQuery.
+- hybrid rejects boost and nested hybrid (HybridQueryBuilder.java:64-66,
+  HybridQueryPhaseSearcher.java:123-148) and allows at most 5 sub-queries.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_py
+from neural_search_spark.index.build import IndexTables
+from neural_search_spark.query import hybrid as hybrid_mod
+from neural_search_spark.query.bm25 import bm25_score_all, topk
+from neural_search_spark.query.sparse import (
+    sparse_scores,
+    split_query_tokens,
+    EXPANSION_RATE,
+    MAX_WINDOW_SIZE,
+    PRUNE_RATIO,
+)
+
+MAX_SUBQUERIES = 5
+
+
+class QueryValidationError(ValueError):
+    pass
+
+
+def filter_condition(pred: dict) -> Column:
+    if "eq" in pred:
+        col, val = pred["eq"]
+        return F.col(col) == F.lit(val)
+    if "in" in pred:
+        col, vals = pred["in"]
+        return F.col(col).isin(*vals)
+    if "range" in pred:
+        spec = dict(pred["range"])
+        col = F.col(spec.pop("column"))
+        cond = F.lit(True)
+        for key, val in spec.items():
+            if key == "gte":
+                cond = cond & (col >= F.lit(val))
+            elif key == "lte":
+                cond = cond & (col <= F.lit(val))
+            elif key == "gt":
+                cond = cond & (col > F.lit(val))
+            elif key == "lt":
+                cond = cond & (col < F.lit(val))
+            else:
+                raise QueryValidationError(f"unknown range op: {key}")
+        return cond
+    raise QueryValidationError(f"unknown filter predicate: {pred}")
+
+
+def _single_field(spec: dict, kind: str) -> tuple[str, dict]:
+    if len(spec) != 1:
+        raise QueryValidationError(f"{kind} query must target exactly one field")
+    ((field, body),) = spec.items()
+    if not isinstance(body, dict):
+        body = {"query": body} if kind == "match" else {"value": body}
+    return field, body
+
+
+@dataclass
+class QueryEngine:
+    """Executable query surface over index tables + the source docs table.
+
+    `docs` carries the filterable metadata columns (role, tool, ts, …) and
+    the display fields for fetch; `tables` are the inverted-index tables.
+    """
+
+    tables: IndexTables
+    docs: DataFrame
+    id_col: str = "docID"
+
+    # -- internal: score one leaf/bool query → (docID, score) --------------
+    def _score(self, q: dict, prefilter: DataFrame | None, in_hybrid: bool = False) -> DataFrame:
+        if len(q) != 1:
+            raise QueryValidationError(f"query dict must have exactly one key, got {sorted(q)}")
+        (kind,) = q.keys()
+        body = q[kind]
+
+        if kind == "match_all":
+            base = self.docs.select(F.col(self.id_col).alias("docID"), F.lit(1.0).alias("score"))
+            if prefilter is not None:
+                base = base.join(prefilter, "docID", "left_semi")
+            return base
+        if kind == "match_none":
+            return self.docs.sparkSession.createDataFrame([], "docID long, score double")
+
+        if kind == "bool":
+            must = body.get("must", {"match_all": {}})
+            filters = body.get("filter", [])
+            cond = None
+            for p in filters:
+                c = filter_condition(p)
+                cond = c if cond is None else cond & c
+            fdf = None
+            if cond is not None:
+                fdf = self.docs.where(cond).select(F.col(self.id_col).alias("docID"))
+            if prefilter is not None:
+                fdf = prefilter if fdf is None else fdf.join(prefilter, "docID", "left_semi")
+            return self._score(must, fdf, in_hybrid=in_hybrid)
+
+        if kind == "match":
+            field, spec = _single_field(body, "match")
+            boost = float(spec.get("boost", 1.0))
+            terms = Counter(tokenize_py(spec["query"]))
+            weights = {t: float(m) * boost for t, m in terms.items()}
+            return bm25_score_all(
+                self.tables.postings, self.tables.doclens, self.tables.term_stats,
+                self.tables.meta, weights, prefilter=prefilter,
+            )
+
+        if kind == "term":
+            field, spec = _single_field(body, "term")
+            boost = float(spec.get("boost", 1.0))
+            return bm25_score_all(
+                self.tables.postings, self.tables.doclens, self.tables.term_stats,
+                self.tables.meta, {str(spec["value"]): boost}, prefilter=prefilter,
+            )
+
+        if kind == "neural_sparse":
+            field, spec = _single_field(body, "neural_sparse")
+            boost = float(spec.get("boost", 1.0))
+            tokens = {t: float(w) * boost for t, w in spec["query_tokens"].items()}
+            weights_df = self.tables.postings.select(
+                "term", "docID", F.col("tf").cast("double").alias("weight")
+            )
+            if prefilter is not None:
+                weights_df = weights_df.join(prefilter, "docID", "left_semi")
+            if "two_phase" in spec:
+                tp = spec["two_phase"] or {}
+                high, low = split_query_tokens(tokens, tp.get("prune_ratio", PRUNE_RATIO))
+                window = min(
+                    int(tp.get("window_size_k", 10) * tp.get("expansion_rate", EXPANSION_RATE)),
+                    tp.get("max_window_size", MAX_WINDOW_SIZE),
+                )
+                p1 = sparse_scores(weights_df, high, quantize=True)
+                win = p1.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(window)
+                if low:
+                    lows = sparse_scores(
+                        weights_df.join(win.select("docID"), "docID", "left_semi"), low, quantize=True
+                    ).withColumnRenamed("score", "low_score")
+                    return win.join(lows, "docID", "left").select(
+                        "docID",
+                        (F.col("score") + F.coalesce(F.col("low_score"), F.lit(0.0))).alias("score"),
+                    )
+                return win
+            return sparse_scores(weights_df, tokens, quantize=True)
+
+        if kind == "hybrid":
+            raise QueryValidationError(
+                "hybrid query must be top-level (HybridQueryPhaseSearcher.java:123-148)"
+            ) if in_hybrid else QueryValidationError("use search() for hybrid queries")
+
+        raise QueryValidationError(f"unknown query kind: {kind}")
+
+    def search(
+        self,
+        query: dict,
+        k: int = 10,
+        post_filter: dict | None = None,
+        sort: list[tuple[str, str]] | None = None,
+        search_after: list | None = None,
+    ) -> DataFrame:
+        """Execute a DSL query → (rank, docID, score). `post_filter` is a
+        filter predicate applied AFTER scoring/top-k (FilteredCollector
+        semantics, HybridCollectorManager.java:93-102). `sort` is a list of
+        (docs-column, 'asc'|'desc'); `search_after` a cursor of sort-key
+        values (PagingFieldCollector.java:88-95)."""
+        (kind,) = query.keys()
+        if kind == "hybrid":
+            body = query[kind]
+            subs = body.get("queries", [])
+            if not 1 <= len(subs) <= MAX_SUBQUERIES:
+                raise QueryValidationError(
+                    f"hybrid supports 1..{MAX_SUBQUERIES} sub-queries (HybridQueryBuilder.java:56)"
+                )
+            if "boost" in body and float(body["boost"]) != 1.0:
+                raise QueryValidationError("hybrid query does not support boost (HybridQueryBuilder.java:64-66)")
+            per = []
+            for idx, sub in enumerate(subs):
+                if next(iter(sub)) == "hybrid":
+                    raise QueryValidationError("hybrid cannot nest hybrid")
+                s = self._score(sub, None, in_hybrid=True)
+                per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
+            union = per[0]
+            for p in per[1:]:
+                union = union.unionByName(p)
+            bounded = hybrid_mod.per_subquery_topk(union, body.get("subquery_k", k))
+            normalized = hybrid_mod.normalize_scores(bounded, body.get("normalization", "min_max"))
+            scored = hybrid_mod.combine_scores(
+                normalized, len(subs), body.get("combination", "arithmetic_mean"), body.get("weights")
+            )
+        else:
+            scored = self._score(query, None)
+
+        if sort:
+            meta_cols = self.docs.withColumnRenamed(self.id_col, "_did")
+            joined = scored.join(meta_cols, scored.docID == F.col("_did"))
+            order = [
+                (F.col(c).desc() if d == "desc" else F.col(c).asc()) for c, d in sort
+            ] + [F.col("docID").asc()]
+            if search_after is not None:
+                # lexicographic (sortkeys, docID) > cursor
+                cond = None
+                prev_eq = F.lit(True)
+                for (c, d), cur in zip(sort, search_after):
+                    this = (F.col(c) < F.lit(cur)) if d == "desc" else (F.col(c) > F.lit(cur))
+                    step = prev_eq & this
+                    cond = step if cond is None else cond | step
+                    prev_eq = prev_eq & (F.col(c) == F.lit(cur))
+                joined = joined.where(cond)
+            from pyspark.sql import Window
+
+            w = Window.orderBy(*order)
+            result = (
+                joined.orderBy(*order).limit(k)
+                .withColumn("rank", F.row_number().over(w))
+                .select("rank", "docID", "score", *[c for c, _ in sort])
+            )
+        else:
+            result = topk(scored, k)
+
+        if post_filter is not None:
+            keep = self.docs.where(filter_condition(post_filter)).select(
+                F.col(self.id_col).alias("docID")
+            )
+            result = result.join(keep, "docID", "left_semi").select(result.columns)
+        return result
+
+    def fetch(self, result: DataFrame) -> DataFrame:
+        return self.docs.join(
+            F.broadcast(result), self.docs[self.id_col] == result.docID
+        ).orderBy("rank")

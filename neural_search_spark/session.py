@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # force the sort-based shuffle writer: the bypass-merge writer opens
+        # maps×reducers files per shuffle (4096 at 64×64), which at high
+        # local parallelism turns into a kernel-time storm (measured 34% sys
+        # → 4%); on a real cluster with wide shuffles sort-based is the norm
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        .config("spark.shuffle.file.buffer", "1m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,273 @@
+"""Unit tests: hybrid normalization/combination edge cases (reference
+semantics), DSL queries, sparse quantization, rerank, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.query import hybrid as H
+from neural_search_spark.query.dsl import QueryEngine, QueryValidationError
+from neural_search_spark.query.sparse import sparse_topk, two_phase_sparse_topk
+
+from tests import oracle
+
+
+# ---------------------------------------------------------------------------
+# normalization / combination edge cases (hand-computed per reference code)
+# ---------------------------------------------------------------------------
+
+
+def _scores_df(spark, rows):
+    return spark.createDataFrame(rows, "subquery_idx int, docID long, score double")
+
+
+def test_minmax_single_result_and_clamp(spark):
+    # subquery 0: single result → 1.0 (max==min==score)
+    # subquery 1: doc 20 is at min → raw 0 → clamped to 0.001
+    df = _scores_df(spark, [(0, 10, 2.5), (1, 20, 1.0), (1, 21, 3.0)])
+    out = {(r["subquery_idx"], r["docID"]): r["nscore"] for r in H.normalize_scores(df, "min_max").collect()}
+    assert out[(0, 10)] == 1.0
+    assert out[(1, 20)] == 0.001
+    assert out[(1, 21)] == 1.0  # (3-1)/(3-1)
+
+
+def test_l2_normalization(spark):
+    df = _scores_df(spark, [(0, 1, 3.0), (0, 2, 4.0)])
+    out = {r["docID"]: r["nscore"] for r in H.normalize_scores(df, "l2").collect()}
+    assert out[1] == pytest.approx(3.0 / 5.0)
+    assert out[2] == pytest.approx(4.0 / 5.0)
+
+
+def test_l2_zero_norm(spark):
+    df = _scores_df(spark, [(0, 1, 0.0), (0, 2, 0.0)])
+    out = {r["docID"]: r["nscore"] for r in H.normalize_scores(df, "l2").collect()}
+    assert out == {1: 0.0, 2: 0.0}
+
+
+def _norm_df(spark, rows):
+    return spark.createDataFrame(rows, "subquery_idx int, docID long, nscore double")
+
+
+def test_arithmetic_mean_counts_missing_as_zero(spark):
+    # doc 1 only in subquery 0 with nscore 0.8: combined = (0.8+0.0)/2
+    df = _norm_df(spark, [(0, 1, 0.8), (0, 2, 0.4), (1, 2, 0.6)])
+    out = {r["docID"]: r["score"] for r in H.combine_scores(df, 2, "arithmetic_mean").collect()}
+    assert out[1] == pytest.approx(0.4)
+    assert out[2] == pytest.approx(0.5)
+
+
+def test_geometric_mean_skips_nonpositive(spark):
+    df = _norm_df(spark, [(0, 1, 0.8), (0, 2, 0.4), (1, 2, 0.6)])
+    out = {r["docID"]: r["score"] for r in H.combine_scores(df, 2, "geometric_mean").collect()}
+    assert out[1] == pytest.approx(0.8)  # single positive → itself
+    assert out[2] == pytest.approx(math.exp((math.log(0.4) + math.log(0.6)) / 2))
+
+
+def test_harmonic_mean_skips_nonpositive(spark):
+    df = _norm_df(spark, [(0, 1, 0.8), (0, 2, 0.4), (1, 2, 0.6)])
+    out = {r["docID"]: r["score"] for r in H.combine_scores(df, 2, "harmonic_mean").collect()}
+    assert out[1] == pytest.approx(0.8)
+    assert out[2] == pytest.approx(2 / (1 / 0.4 + 1 / 0.6))
+
+
+def test_weighted_arithmetic(spark):
+    df = _norm_df(spark, [(0, 1, 1.0), (1, 1, 0.5)])
+    out = {r["docID"]: r["score"] for r in H.combine_scores(df, 2, "arithmetic_mean", [0.7, 0.3]).collect()}
+    assert out[1] == pytest.approx(0.7 * 1.0 + 0.3 * 0.5)
+
+
+def test_weights_validation(spark):
+    df = _norm_df(spark, [(0, 1, 1.0)])
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        H.combine_scores(df, 1, "arithmetic_mean", [0.5])
+    with pytest.raises(ValueError, match="match number"):
+        H.combine_scores(df, 1, "arithmetic_mean", [0.5, 0.5])
+
+
+# ---------------------------------------------------------------------------
+# sparse quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize16_matches_reference_bit_twiddle(spark):
+    vals = [0.1, 1.0, 3.75, 123.456, 0.0009765625, 7.0, 1e-8]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x float")
+    from neural_search_spark.query.sparse import quantize16
+
+    got = [r["q"] for r in df.select(quantize16(F.col("x")).alias("q")).collect()]
+    exp = [oracle.quantize16(v) for v in vals]
+    assert got == pytest.approx(exp, abs=0)
+
+
+def test_sparse_topk_quantized_matches_oracle(spark, transcripts, index_tables):
+    postings = {
+        (r["term"], r["docID"]): r["tf"] for r in index_tables.postings.collect()
+    }
+    doc_weights = {}
+    for (t, d), tf in postings.items():
+        doc_weights.setdefault(d, {})[t] = float(tf)
+    q = {"the": 1.5, "data": 0.7, "spark": 2.0}
+    exp = sorted(
+        oracle.sparse_linear_scores(doc_weights, q).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    weights_df = index_tables.postings.select(
+        "term", "docID", F.col("tf").cast("double").alias("weight")
+    )
+    got = sparse_topk(weights_df, q, k=10, quantize=True).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-6)
+
+
+def test_two_phase_topk_equals_full_topk(spark, index_tables):
+    """Window = k×5 covers enough that two-phase top-k must equal the exact
+    one (the reference guarantee for returned hits)."""
+    weights_df = index_tables.postings.select(
+        "term", "docID", F.col("tf").cast("double").alias("weight")
+    )
+    q = {"the": 2.0, "data": 1.0, "spark": 0.3, "cache": 0.2}
+    full = sparse_topk(weights_df, q, k=10, quantize=False).collect()
+    two = two_phase_sparse_topk(weights_df, q, k=10, quantize=False).collect()
+    assert [r["docID"] for r in two] == [r["docID"] for r in full]
+    for a, b in zip(two, full):
+        # high+low grouping associates float additions differently — the
+        # reference's rescore adds the same way (phase1 + phase2 parts)
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# DSL
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engine(transcripts, index_tables):
+    return QueryEngine(tables=index_tables, docs=transcripts)
+
+
+def _oracle_docs(transcripts):
+    return {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
+
+
+def test_dsl_match_counts_duplicate_terms(spark, transcripts, engine):
+    docs = _oracle_docs(transcripts)
+    # "data data spark" → data weight 2, spark weight 1
+    exp = oracle.topk(oracle.bm25_scores(docs, {"data": 2.0, "spark": 1.0}), 10)
+    got = engine.search({"match": {"text": {"query": "data data spark"}}}, k=10).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+
+
+def test_dsl_term_with_boost(spark, transcripts, engine):
+    docs = _oracle_docs(transcripts)
+    exp = oracle.topk(oracle.bm25_scores(docs, {"cache": 3.0}), 10)
+    got = engine.search({"term": {"text": {"value": "cache", "boost": 3.0}}}, k=10).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_dsl_bool_filter_keeps_global_stats(spark, transcripts, engine):
+    docs = _oracle_docs(transcripts)
+    roles = {r["docID"]: r["role"] for r in transcripts.select("docID", "role").collect()}
+    exp_all = oracle.bm25_scores(docs, ["the", "data"])
+    exp = oracle.topk({d: s for d, s in exp_all.items() if roles[d] == "user"}, 10)
+    got = engine.search(
+        {"bool": {"must": {"match": {"text": {"query": "the data"}}},
+                  "filter": [{"eq": ["role", "user"]}]}},
+        k=10,
+    ).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+
+
+def test_dsl_hybrid_end_to_end(spark, transcripts, engine, index_tables):
+    from neural_search_spark.query.hybrid import hybrid_topk
+
+    direct = hybrid_topk(index_tables, [["spark", "data"], ["cache", "heap"]], k=10).collect()
+    via_dsl = engine.search(
+        {"hybrid": {"queries": [
+            {"match": {"text": {"query": "spark data"}}},
+            {"match": {"text": {"query": "cache heap"}}},
+        ]}},
+        k=10,
+    ).collect()
+    assert [(r["docID"], r["score"]) for r in via_dsl] == [(r["docID"], r["score"]) for r in direct]
+
+
+def test_dsl_validation_errors(engine):
+    with pytest.raises(QueryValidationError, match="1..5 sub-queries"):
+        engine.search({"hybrid": {"queries": []}})
+    with pytest.raises(QueryValidationError, match="nest"):
+        engine.search({"hybrid": {"queries": [{"hybrid": {"queries": []}}]}})
+    with pytest.raises(QueryValidationError, match="boost"):
+        engine.search({"hybrid": {"queries": [{"match": {"text": "x"}}], "boost": 2.0}})
+    with pytest.raises(QueryValidationError, match="unknown query kind"):
+        engine.search({"wat": {}})
+
+
+def test_dsl_sort_and_search_after(spark, transcripts, engine):
+    rows = engine.search(
+        {"match_all": {}}, k=5, sort=[("conv_id", "asc"), ("turn_idx", "asc")]
+    ).collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert keys == sorted(keys)
+    # paging resumes strictly after the cursor
+    cursor = [rows[-1]["conv_id"], rows[-1]["turn_idx"]]
+    page2 = engine.search(
+        {"match_all": {}}, k=5, sort=[("conv_id", "asc"), ("turn_idx", "asc")],
+        search_after=cursor,
+    ).collect()
+    keys2 = [(r["conv_id"], r["turn_idx"]) for r in page2]
+    assert keys2 == sorted(keys2)
+    assert all(k2 > tuple(cursor) for k2 in keys2)
+
+
+def test_dsl_post_filter_shrinks_results(spark, transcripts, engine):
+    full = engine.search({"match": {"text": {"query": "the data"}}}, k=10).collect()
+    filtered = engine.search(
+        {"match": {"text": {"query": "the data"}}}, k=10, post_filter={"eq": ["role", "tool"]}
+    ).collect()
+    roles = {r["docID"]: r["role"] for r in transcripts.select("docID", "role").collect()}
+    assert {r["docID"] for r in filtered} == {
+        r["docID"] for r in full if roles[r["docID"]] == "tool"
+    }
+
+
+# ---------------------------------------------------------------------------
+# rerank + multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_by_field(spark, transcripts, engine):
+    from neural_search_spark.ops.rerank import rerank_by_field
+
+    top = engine.search({"match": {"text": {"query": "the data"}}}, k=10)
+    rr = rerank_by_field(top, transcripts, "turn_idx").collect()
+    vals = [r["score"] for r in rr]
+    assert vals == sorted(vals, reverse=True)
+    assert all("previous_score" in r.asDict() for r in rr)
+    assert {r["docID"] for r in rr} == {r["docID"] for r in top.collect()}
+
+
+def test_multimodal_fake_features(spark):
+    from neural_search_spark.ops.multimodal import (
+        deterministic_fake_features,
+        extract_features,
+        real_decode_stub,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=60).repartition(4)
+    feats = extract_features(media, kernel=deterministic_fake_features, batch_kind="image").collect()
+    assert len(feats) == 20  # every 3rd row is an image
+    assert all(len(f["feature"]) == 16 for f in feats)
+    # deterministic: same media_id → same feature across runs/partitionings
+    feats2 = extract_features(media.repartition(7), kernel=deterministic_fake_features,
+                              batch_kind="image").collect()
+    assert {f["media_id"]: f["feature"] for f in feats} == {
+        f["media_id"]: f["feature"] for f in feats2
+    }
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"x", "image/png")

@@ -135,7 +135,7 @@ def test_store_build_and_resume(spark, tmp_path):
     out = str(tmp_path / "idx")
 
     r1 = build_index(spark, tr, out, source_fingerprint="synth:15x8:42", postings_per_salt=50)
-    assert [s.skipped for s in r1] == [False] * 4
+    assert [s.skipped for s in r1] == [False] * 5
 
     store = IndexStore(spark, out)
     docs = {r["docID"]: r["text"] for r in store.docs.select("docID", "text").collect()}
@@ -148,7 +148,7 @@ def test_store_build_and_resume(spark, tmp_path):
 
     # full resume: everything skipped
     r2 = build_index(spark, tr, out, source_fingerprint="synth:15x8:42", postings_per_salt=50)
-    assert [s.skipped for s in r2] == [True] * 4
+    assert [s.skipped for s in r2] == [True] * 5
 
     # kill-simulation: drop the segments manifest → only segments rebuilds,
     # and the rebuilt index is content-identical
@@ -161,7 +161,7 @@ def test_store_build_and_resume(spark, tmp_path):
     )
     os.remove(seg_manifest)
     r3 = build_index(spark, tr, out, source_fingerprint="synth:15x8:42", postings_per_salt=50)
-    assert [s.skipped for s in r3] == [True, True, True, False]
+    assert [s.skipped for s in r3] == [True, True, True, True, False]
     after = sorted(
         (r["term"], r["salt"], r["blockID"], bytes(r["docids"]).hex())
         for r in IndexStore(spark, out).segments.collect()
@@ -170,4 +170,4 @@ def test_store_build_and_resume(spark, tmp_path):
 
     # changed source fingerprint invalidates every stage
     r4 = build_index(spark, tr, out, source_fingerprint="synth:OTHER")
-    assert [s.skipped for s in r4] == [False] * 4
+    assert [s.skipped for s in r4] == [False] * 5

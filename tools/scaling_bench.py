@@ -1,0 +1,115 @@
+"""Two-parallelism-level scaling benchmark (north-rule evidence).
+
+Runs the full index-build pipeline (synthesize → docIDs → postings →
+compressed block segments → sharded parquet write) twice in fresh
+subprocesses with IDENTICAL input and config except the master:
+local[N] and local[4N] (stand-ins for N and 4N executors — no real cluster
+in this sandbox). Reports throughput at both and scaling efficiency
+T_4N/(4·T_N); target ≥ 0.8.
+
+Usage: python tools/scaling_bench.py [--turns 400000] [--n 8] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from neural_search_spark.session import get_spark
+from neural_search_spark.data import assign_doc_ids, synthesize_transcripts
+from neural_search_spark.index.build import build_index_tables
+from neural_search_spark.index.segments import build_segments, write_segments
+from pyspark.sql import functions as F
+
+cpus = int(sys.argv[1]); n_turns = int(sys.argv[2]); shuffle = int(sys.argv[3])
+seg_path = sys.argv[4]; trials = int(sys.argv[5])
+spark = get_spark("scale-bench", master="local[%d]" % cpus, shuffle_partitions=shuffle)
+# warm the JVM and the Python-worker pool (incl. the Arrow/pandas import in
+# every worker) so one-time startup cost is excluded — real clusters have
+# long-lived executors whose workers stay warm across jobs
+warm = assign_doc_ids(synthesize_transcripts(spark, 200, 10, partitions=shuffle))
+wt = build_index_tables(warm)
+wm = wt.meta.first()
+build_segments(wt.postings.join(wt.doclens, "docID"), avgdl=float(wm["avgdl"]),
+               max_doc_id=int(wm["N"]) - 1, num_partitions=shuffle,
+               term_stats=wt.term_stats).count()
+
+def run_once():
+    # the production staged pipeline (store.build_index): parquet checkpoints
+    # between stages + lineage manifests — exactly what a cluster run does
+    from neural_search_spark.index.store import build_index
+    shutil.rmtree(seg_path, ignore_errors=True)
+    tr = synthesize_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10,
+                                partitions=shuffle)
+    t0 = time.time()
+    stages = build_index(spark, tr, seg_path, source_fingerprint="bench", resume=False)
+    t1 = time.time()
+    n_blocks = spark.read.parquet(os.path.join(seg_path, "segments")).count()
+    shutil.rmtree(seg_path, ignore_errors=True)
+    return {{"wall": t1 - t0, "blocks": n_blocks,
+            "stages": {{s.stage: round(s.wall_sec, 2) for s in stages}}}}
+
+runs = [run_once() for _ in range(trials)]
+best = min(runs, key=lambda r: r["wall"])
+print(json.dumps({{"cpus": cpus, "wall_sec": round(best["wall"], 2),
+                  "turns_per_sec": round(n_turns / best["wall"], 1),
+                  "blocks": best["blocks"], "stages": best["stages"],
+                  "all_walls": [round(r["wall"], 2) for r in runs]}}))
+"""
+
+
+def run_level(repo: str, cpus: int, turns: int, shuffle: int, trials: int = 3) -> dict:
+    seg_path = os.path.join(repo, ".bench_tmp", f"scale_{cpus}")
+    script = CHILD.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(turns), str(shuffle), seg_path, str(trials)],
+        capture_output=True, text=True, timeout=3000,
+    )
+    if out.returncode != 0:
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"child failed at local[{cpus}]")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=400_000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level N (big = 4N)")
+    ap.add_argument("--shuffle", type=int, default=64, help="shuffle partitions (identical at both levels)")
+    ap.add_argument("--trials", type=int, default=3, help="timed repetitions per level (min reported)")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # fresh JVM per trial, levels interleaved (8,32,8,32,…) so slow drift in
+    # the shared sandbox hits both levels equally; min-of-trials per level
+    runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
+    for _ in range(args.trials):
+        for cpus in (args.n, args.n * 4):
+            r = run_level(repo, cpus, args.turns, args.shuffle, trials=1)
+            runs[cpus].append(r)
+            print(f"  trial local[{cpus}]: {r['wall_sec']}s", file=sys.stderr)
+    small = min(runs[args.n], key=lambda r: r["wall_sec"])
+    big = min(runs[args.n * 4], key=lambda r: r["wall_sec"])
+    eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
+    report = {
+        "turns": args.turns,
+        "shuffle_partitions": args.shuffle,
+        f"local[{args.n}]": small,
+        f"local[{args.n * 4}]": big,
+        f"all_walls_local[{args.n}]": [r["wall_sec"] for r in runs[args.n]],
+        f"all_walls_local[{args.n * 4}]": [r["wall_sec"] for r in runs[args.n * 4]],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
