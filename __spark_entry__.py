@@ -200,6 +200,31 @@ def q_bm25_weighted_top10(spark, sf_dir):
     return _ranked(_bm25_scores_rounded(_index(spark, sf_dir), Q_BM25_W), "score", "doc_id", K)
 
 
+def q_bm25_wand_top10(spark, sf_dir):
+    """Same BM25 query, but executed over the compressed block segments with
+    block-max WAND pruning (query/segment_search.py) — proves the segment
+    path is rank/score-identical to the relational oracle."""
+    from neural_search_spark.index.segments import build_segments
+    from neural_search_spark.query.segment_search import wand_topk
+
+    t = _index(spark, sf_dir)
+    key = f"segs:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        m = t.meta.first()
+        pdl = t.postings.join(t.doclens, "docID")
+        max_id = t.doclens.agg(F.max("docID")).first()[0]
+        segs = build_segments(
+            pdl, avgdl=float(m["avgdl"]), max_doc_id=int(max_id),
+            block_size=32, term_stats=t.term_stats,
+        ).persist()
+        segs.count()
+        _INDEX_CACHE[key] = (segs, int(m["N"]), float(m["avgdl"]))
+    segs, n_docs, avgdl = _INDEX_CACHE[key]
+    res = wand_topk(segs, t.term_stats, n_docs, avgdl, Q_BM25, k=K)
+    return _ranked(res.withColumnRenamed("docID", "doc_id").select("doc_id", "score"),
+                   "score", "doc_id", K)
+
+
 def q_bm25_prefilter_top10(spark, sf_dir):
     """Filter pushdown semantics: candidates restricted to lang='en' BEFORE
     scoring, but collection stats stay global (HybridQuery.java:43-60)."""
@@ -529,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_meta": q_collection_meta,
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
+        "bm25_wand_top10": q_bm25_wand_top10,
         "bm25_prefilter_top10": q_bm25_prefilter_top10,
         "bm25_post_filter_top10": q_bm25_post_filter_top10,
         "sparse_linear_top10": q_sparse_linear_top10,
@@ -583,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_meta": f"with {SQL_INDEX_CTES} select n, round(avgdl, 6) as avgdl from meta",
         "bm25_top10": _oracle_bm25(Q_BM25),
         "bm25_weighted_top10": _oracle_bm25(Q_BM25_W),
+        "bm25_wand_top10": _oracle_bm25(Q_BM25),
         "bm25_prefilter_top10": f"""with {SQL_INDEX_CTES},
   {_sql_bm25_scored(Q_BM25, "s_all")},
   scored as (select s.* from s_all s join documents d on s.doc_id = d.doc_id where d.lang = 'en')

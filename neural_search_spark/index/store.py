@@ -78,6 +78,10 @@ class IndexStore:
         return self.spark.read.parquet(os.path.join(self.path, "docs"))
 
     @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    @property
     def doclens(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "doclens"))
 

@@ -57,6 +57,7 @@ def bm25_score_all(
     k1: float = K1,
     b: float = B,
     prefilter: DataFrame | None = None,
+    lucene_norms: bool = False,
 ) -> DataFrame:
     """All matching docs with exact BM25 scores: (docID, score).
 
@@ -64,6 +65,12 @@ def bm25_score_all(
     *before* scoring via left-semi join, but collection statistics stay
     global — matching the reference, where FILTER clauses restrict matches
     but BM25 stats come from the whole index (query/HybridQuery.java:43-60).
+
+    `lucene_norms=True` quantizes dl with Lucene's SmallFloat int4 scheme
+    (1-byte norms) for rank-identity with a real Lucene BM25; the default
+    keeps exact dl (documented divergence, see analysis/lucene_norms.py).
+    Note avgdl stays the exact average, as Lucene's avgFieldLength is also
+    computed from sumTotalTermFreq, not from decoded norms.
     """
     spark = postings.sparkSession
     q = query_terms_df(spark, terms)
@@ -82,9 +89,14 @@ def bm25_score_all(
     if prefilter is not None:
         cand = cand.join(prefilter.select("docID"), "docID", "left_semi")
     cand = cand.join(doclens, "docID")
+    dl_col = F.col("dl")
+    if lucene_norms:
+        from neural_search_spark.analysis.lucene_norms import int4_quantize_col
+
+        dl_col = int4_quantize_col(dl_col)
     per_term = cand.select(
         "docID",
-        (F.col("w_idf") * bm25_score_col(F.col("tf"), F.col("dl"), F.lit(avgdl), k1, b)).alias("part"),
+        (F.col("w_idf") * bm25_score_col(F.col("tf"), dl_col, F.lit(avgdl), k1, b)).alias("part"),
     )
     return per_term.groupBy("docID").agg(F.sum("part").alias("score"))
 

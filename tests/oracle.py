@@ -26,10 +26,16 @@ def build_oracle_index(docs: dict[int, str]):
     return postings, doclens, n, avgdl
 
 
-def bm25_scores(docs: dict[int, str], terms: dict[str, float] | list[str]) -> dict[int, float]:
+def bm25_scores(
+    docs: dict[int, str], terms: dict[str, float] | list[str], lucene_norms: bool = False
+) -> dict[int, float]:
     if not isinstance(terms, dict):
         terms = {t: 1.0 for t in terms}
     postings, doclens, n, avgdl = build_oracle_index(docs)
+    if lucene_norms:
+        from neural_search_spark.analysis.lucene_norms import int4_quantize_py
+
+        doclens = {d: int4_quantize_py(dl) for d, dl in doclens.items()}
     scores: dict[int, float] = {}
     for t in sorted(terms):  # fixed accumulation order
         if t not in postings:

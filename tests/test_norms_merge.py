@@ -1,0 +1,104 @@
+"""Lucene int4 norm quantization parity and hierarchical segment merge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.lucene_norms import (
+    int4_quantize_col,
+    int4_quantize_np,
+    int4_quantize_py,
+)
+from neural_search_spark.query.bm25 import bm25_topk
+
+from tests import oracle
+
+
+@given(st.integers(min_value=0, max_value=2**40))
+@settings(max_examples=300, deadline=None)
+def test_int4_properties(n):
+    q = int4_quantize_py(n)
+    # monotone round-down with ≤1/8 relative error; exact below 8
+    assert q <= n
+    if n < 8:
+        assert q == n
+    else:
+        assert n - q < n / 8
+    assert int4_quantize_py(q) == q  # idempotent
+
+
+def test_int4_np_and_col_match_py(spark):
+    vals = [0, 1, 7, 8, 9, 15, 16, 100, 384, 1000, 123456, 2**31]
+    exp = [int4_quantize_py(v) for v in vals]
+    assert int4_quantize_np(np.array(vals)).tolist() == exp
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = [r["q"] for r in df.select(int4_quantize_col(F.col("n")).alias("q")).collect()]
+    assert got == exp
+
+
+def test_bm25_lucene_norms_mode_matches_oracle(spark, transcripts, index_tables):
+    docs = {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
+    terms = ["the", "spark", "data"]
+    exp = oracle.topk(oracle.bm25_scores(docs, terms, lucene_norms=True), 10)
+    from neural_search_spark.query.bm25 import bm25_score_all, topk
+
+    got = topk(
+        bm25_score_all(
+            index_tables.postings, index_tables.doclens, index_tables.term_stats,
+            index_tables.meta, terms, lucene_norms=True,
+        ),
+        10,
+    ).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_merge_segments_disjoint_ranges(spark, tmp_path):
+    """Incremental ingest: two runs over disjoint docID ranges merge by
+    concatenation + renumbering, and the merged index answers queries
+    identically to an index built over the union."""
+    from neural_search_spark.data import synthesize_transcripts, assign_doc_ids
+    from neural_search_spark.index.build import build_index_tables
+    from neural_search_spark.index.segments import build_segments, merge_segments, write_segments
+    from neural_search_spark.query.segment_search import wand_topk
+
+    tr = assign_doc_ids(synthesize_transcripts(spark, 20, 10, seed=7))
+    full = build_index_tables(tr)
+    m = full.meta.first()
+    avgdl, n_docs = float(m["avgdl"]), int(m["N"])
+
+    # two disjoint docID halves, segment-built separately with SHARED global
+    # stats (the incremental-ingest contract: stats refresh, postings append)
+    paths = []
+    for i, cond in enumerate([F.col("docID") < 100, F.col("docID") >= 100]):
+        part = full.postings.join(full.doclens, "docID").where(cond)
+        segs = build_segments(part, avgdl=avgdl, max_doc_id=n_docs - 1, block_size=16,
+                              term_stats=full.term_stats)
+        p = str(tmp_path / f"run{i}")
+        write_segments(segs, p)
+        paths.append(p)
+
+    merged_path = str(tmp_path / "merged")
+    merge_segments(spark, paths, merged_path)
+    merged = spark.read.parquet(merged_path)
+
+    # blockIDs renumbered contiguously per term, ranges still disjoint
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("blockID")
+    chk = merged.withColumn("_rn", F.row_number().over(w) - 1)
+    assert chk.where(F.col("_rn") != F.col("blockID")).count() == 0
+
+    docs = {r["docID"]: r["text"] for r in tr.select("docID", "text").collect()}
+    exp = oracle.topk(oracle.bm25_scores(docs, ["the", "data", "spark"]), 10)
+    got = wand_topk(merged, full.term_stats, n_docs, avgdl, ["the", "data", "spark"], k=10).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+
+    # overlapping runs must be rejected
+    with pytest.raises(ValueError, match="overlapping"):
+        merge_segments(spark, [paths[0], paths[0]], str(tmp_path / "bad"))
