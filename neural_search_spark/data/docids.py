@@ -20,6 +20,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _with_doc_ids(ranged: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    bases, acc = {}, 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(counts)]),
+            F.array(*[F.lit(bases[p]) for p in sorted(counts)]),
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        ranged.withColumn("_local", F.row_number().over(w))
+        .withColumn(id_col, (F.col("_local") - 1 + base_expr).cast("long"))
+        .drop("_pid", "_local")
+    )
+
+
+def _ranged(df: DataFrame, order_cols: list[str], num_partitions: int) -> DataFrame:
+    from pyspark import StorageLevel
+
+    return (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        # serialized persist: deserialized MemoryStore caching of wide text
+        # rows is lock/bandwidth-contended at high task parallelism
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str] | None = None,
@@ -28,33 +61,30 @@ def assign_doc_ids(
 ) -> DataFrame:
     order_cols = order_cols or ["conv_id", "turn_idx"]
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-
-    ranged = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    ranged = _ranged(df, order_cols, num_partitions)
     try:
-        counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-        bases, acc = {}, 0
-        for pid in sorted(counts):
-            bases[pid] = acc
-            acc += counts[pid]
-        base_expr = F.element_at(
-            F.map_from_arrays(
-                F.array(*[F.lit(p) for p in sorted(counts)]),
-                F.array(*[F.lit(bases[p]) for p in sorted(counts)]),
-            ),
-            F.col("_pid"),
-        )
-        w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
-        out = (
-            ranged.withColumn("_local", F.row_number().over(w))
-            .withColumn(id_col, (F.col("_local") - 1 + base_expr).cast("long"))
-            .drop("_pid", "_local")
-        )
         # materialize while `ranged` is still cached; callers get a plain DF
-        out = out.localCheckpoint(eager=True)
+        out = _with_doc_ids(ranged, order_cols, id_col).localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
     return out
+
+
+def assign_doc_ids_to_parquet(
+    df: DataFrame,
+    out_path: str,
+    order_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    id_col: str = "docID",
+) -> None:
+    """Pipeline variant: stream the docID-stamped rows straight to parquet
+    (the stage checkpoint) instead of a memory localCheckpoint — one less
+    full materialization into the block store, and the write IS the
+    consistency barrier the two-pass scheme needs."""
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = _ranged(df, order_cols, num_partitions)
+    try:
+        _with_doc_ids(ranged, order_cols, id_col).write.mode("overwrite").parquet(out_path)
+    finally:
+        ranged.unpersist()

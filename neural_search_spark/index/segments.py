@@ -88,7 +88,12 @@ def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     n = len(chunk)
 
     new_group = np.ones(n, dtype=bool)
-    new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    if "_gh" in chunk.columns:
+        gh = chunk["_gh"].to_numpy(np.int64)
+        gh2 = chunk["_gh2"].to_numpy(np.int64)
+        new_group[1:] = (gh[1:] != gh[:-1]) | (gh2[1:] != gh2[:-1])
+    else:
+        new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
     gstart = np.flatnonzero(new_group)
     gid = np.cumsum(new_group) - 1
     offset_in_group = np.arange(n, dtype=np.int64) - gstart[gid]
@@ -160,8 +165,17 @@ def build_segments(
     width = F.greatest(F.ceil(F.lit(max_doc_id + 1) / F.col("n_salts")), F.lit(1))
     df = df.withColumn("salt", (F.col("docID") / width).cast("int")).drop("n_salts")
 
-    shuffled = df.repartition(num_partitions, "term", "salt").sortWithinPartitions(
-        "term", "salt", "docID"
+    shuffled = (
+        df.repartition(num_partitions, "term", "salt")
+        .sortWithinPartitions("term", "salt", "docID")
+        # JVM-side group keys: boundary detection in the Python encoder runs
+        # on int64 arrays instead of comparing object-dtype strings row by
+        # row (interpreter-bound at ~10^7 postings/partition). Sorted input
+        # means equal keys are adjacent; TWO independent 64-bit hashes make
+        # an adjacent-group double collision (~2^-128) effectively
+        # impossible, keeping grouping exact.
+        .withColumn("_gh", F.xxhash64("term", "salt"))
+        .withColumn("_gh2", F.xxhash64("salt", "term", F.lit(0x9E3779B9)))
     )
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,12 +190,12 @@ def build_segments(
                 return None
             if not final:
                 # hold back the trailing (term, salt) group — it may continue
-                # in the next Arrow batch
-                t_last = chunk["term"].iat[-1]
-                s_last = chunk["salt"].iat[-1]
-                tail_mask = (chunk["term"] == t_last) & (chunk["salt"] == s_last)
-                # boundary of last group (groups are contiguous post-sort)
-                cut = len(chunk) - int(tail_mask.values[::-1].argmin() if not tail_mask.all() else len(chunk))
+                # in the next Arrow batch (int group-key comparison, no
+                # object-dtype string equality)
+                g = chunk["_gh"].to_numpy(np.int64)
+                g2 = chunk["_gh2"].to_numpy(np.int64)
+                tail = (g == g[-1]) & (g2 == g2[-1])
+                cut = len(chunk) - int(tail[::-1].argmin() if not tail.all() else len(chunk))
                 pending = chunk.iloc[cut:].copy()
                 chunk = chunk.iloc[:cut]
                 if chunk.empty:
@@ -192,9 +206,9 @@ def build_segments(
             res = flush(batch, final=False)
             if res is not None and not res.empty:
                 yield res
-        res = flush(pd.DataFrame(columns=["term", "salt", "docID", "tf", "dl"]), final=True)
-        if res is not None and not res.empty:
-            yield res
+        if pending is not None and not pending.empty:
+            last, pending = pending, None
+            yield _encode_chunk(last, avgdl, block_size)
 
     return shuffled.mapInPandas(encode_partition, schema=SEGMENT_SCHEMA)
 

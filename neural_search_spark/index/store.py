@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neural_search_spark.analysis.tokenizer import tokenizer_hash
-from neural_search_spark.data.docids import assign_doc_ids
+from neural_search_spark.data.docids import assign_doc_ids_to_parquet
 from neural_search_spark.index.build import (
     build_doclens,
     build_postings,
@@ -188,8 +188,7 @@ def build_index(
         upstream_checksums.append(checksum)
 
     def produce_docs(out_path: str):
-        docs = assign_doc_ids(transcripts)
-        docs.write.mode("overwrite").parquet(out_path)
+        assign_doc_ids_to_parquet(transcripts, out_path)
         written = spark.read.parquet(out_path)
         return written.count(), _content_checksum(written)
 

@@ -41,6 +41,9 @@ def get_spark(
         # → 4%); on a real cluster with wide shuffles sort-based is the norm
         .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.shuffle.file.buffer", "1m")
+        # bigger Arrow batches: fewer pandas frames + concat boundaries in
+        # the vectorized encode/decode UDFs
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
