@@ -110,7 +110,9 @@ class QueryEngine:
     id_col: str = "docID"
 
     # -- internal: score one leaf/bool query → (docID, score) --------------
-    def _score(self, q: dict, prefilter: DataFrame | None, in_hybrid: bool = False) -> DataFrame:
+    def _score(
+        self, q: dict, prefilter: DataFrame | None, in_hybrid: bool = False, k: int = 10
+    ) -> DataFrame:
         if len(q) != 1:
             raise QueryValidationError(f"query dict must have exactly one key, got {sorted(q)}")
         (kind,) = q.keys()
@@ -136,7 +138,7 @@ class QueryEngine:
                 fdf = self.docs.where(cond).select(F.col(self.id_col).alias("docID"))
             if prefilter is not None:
                 fdf = prefilter if fdf is None else fdf.join(prefilter, "docID", "left_semi")
-            return self._score(must, fdf, in_hybrid=in_hybrid)
+            return self._score(must, fdf, in_hybrid=in_hybrid, k=k)
 
         if kind == "match":
             field, spec = _single_field(body, "match")
@@ -168,8 +170,10 @@ class QueryEngine:
             if "two_phase" in spec:
                 tp = spec["two_phase"] or {}
                 high, low = split_query_tokens(tokens, tp.get("prune_ratio", PRUNE_RATIO))
+                # window = k × expansion_rate, capped (NeuralSparseTwoPhase
+                # Processor.java:212-231: size × 5.0, max 10 000)
                 window = min(
-                    int(tp.get("window_size_k", 10) * tp.get("expansion_rate", EXPANSION_RATE)),
+                    int(k * tp.get("expansion_rate", EXPANSION_RATE)),
                     tp.get("max_window_size", MAX_WINDOW_SIZE),
                 )
                 p1 = sparse_scores(weights_df, high, quantize=True)
@@ -219,7 +223,7 @@ class QueryEngine:
             for idx, sub in enumerate(subs):
                 if next(iter(sub)) == "hybrid":
                     raise QueryValidationError("hybrid cannot nest hybrid")
-                s = self._score(sub, None, in_hybrid=True)
+                s = self._score(sub, None, in_hybrid=True, k=body.get("subquery_k", k))
                 per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
             union = per[0]
             for p in per[1:]:
@@ -230,7 +234,7 @@ class QueryEngine:
                 normalized, len(subs), body.get("combination", "arithmetic_mean"), body.get("weights")
             )
         else:
-            scored = self._score(query, None)
+            scored = self._score(query, None, k=k)
 
         if sort:
             meta_cols = self.docs.withColumnRenamed(self.id_col, "_did")

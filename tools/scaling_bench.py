@@ -28,7 +28,7 @@ from neural_search_spark.index.segments import build_segments, write_segments
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1]); n_turns = int(sys.argv[2]); shuffle = int(sys.argv[3])
-seg_path = sys.argv[4]; trials = int(sys.argv[5])
+seg_path = sys.argv[4]; trials = int(sys.argv[5]); tokens = int(sys.argv[6])
 spark = get_spark("scale-bench", master="local[%d]" % cpus, shuffle_partitions=shuffle)
 # warm the JVM and the Python-worker pool (incl. the Arrow/pandas import in
 # every worker) so one-time startup cost is excluded — real clusters have
@@ -46,7 +46,7 @@ def run_once():
     from neural_search_spark.index.store import build_index
     shutil.rmtree(seg_path, ignore_errors=True)
     tr = synthesize_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10,
-                                partitions=shuffle)
+                                tokens_per_turn=tokens, partitions=shuffle)
     t0 = time.time()
     stages = build_index(spark, tr, seg_path, source_fingerprint="bench", resume=False)
     t1 = time.time()
@@ -64,11 +64,11 @@ print(json.dumps({{"cpus": cpus, "wall_sec": round(best["wall"], 2),
 """
 
 
-def run_level(repo: str, cpus: int, turns: int, shuffle: int, trials: int = 3) -> dict:
+def run_level(repo: str, cpus: int, turns: int, shuffle: int, trials: int = 3, tokens: int = 24) -> dict:
     seg_path = os.path.join(repo, ".bench_tmp", f"scale_{cpus}")
     script = CHILD.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(turns), str(shuffle), seg_path, str(trials)],
+        [sys.executable, "-c", script, str(cpus), str(turns), str(shuffle), seg_path, str(trials), str(tokens)],
         capture_output=True, text=True, timeout=3000,
     )
     if out.returncode != 0:
@@ -83,6 +83,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small parallelism level N (big = 4N)")
     ap.add_argument("--shuffle", type=int, default=64, help="shuffle partitions (identical at both levels)")
     ap.add_argument("--trials", type=int, default=3, help="timed repetitions per level (min reported)")
+    ap.add_argument("--tokens", type=int, default=24, help="tokens per turn (compute density)")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -91,7 +92,7 @@ def main() -> None:
     runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
     for _ in range(args.trials):
         for cpus in (args.n, args.n * 4):
-            r = run_level(repo, cpus, args.turns, args.shuffle, trials=1)
+            r = run_level(repo, cpus, args.turns, args.shuffle, trials=1, tokens=args.tokens)
             runs[cpus].append(r)
             print(f"  trial local[{cpus}]: {r['wall_sec']}s", file=sys.stderr)
     small = min(runs[args.n], key=lambda r: r["wall_sec"])
@@ -99,6 +100,7 @@ def main() -> None:
     eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
     report = {
         "turns": args.turns,
+        "tokens_per_turn": args.tokens,
         "shuffle_partitions": args.shuffle,
         f"local[{args.n}]": small,
         f"local[{args.n * 4}]": big,
