@@ -79,6 +79,7 @@ def main() -> None:
     qnames = [
         "bm25_top10",
         "bm25_weighted_top10",
+        "bm25_wand_top10",
         "two_phase_sparse_top10",
         "hybrid_minmax_arithmetic",
         "token_term_counts",

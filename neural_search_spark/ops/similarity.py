@@ -63,16 +63,35 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if h % 2 == 0 else -1
 
 
+def _plane_matrix(dim: int, n_planes: int):
+    import numpy as np
+
+    return np.array(
+        [[_plane_sign(p, d) for d in range(dim)] for p in range(n_planes)], dtype=np.float64
+    )
+
+
 def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: bit p = 1 iff Σ_d sgn(h(p,d))·v[d] ≥ 0."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            s = _plane_sign(p, d)
-            proj = proj + F.lit(float(s)) * F.element_at(vec_col, d + 1).cast("double")
-        bucket = bucket + F.shiftleft((proj >= 0).cast("int"), p)
-    return bucket
+    """Sign-LSH bucket id: bit p = 1 iff Σ_d sgn(h(p,d))·v[d] ≥ 0.
+
+    Implemented as an Arrow-batched pandas UDF doing one (batch × dim) @
+    (dim × planes) matrix multiply — a column-expression version would be a
+    dim×planes-term codegen expression that overflows janino at 64×8."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    planes_t = _plane_matrix(dim, n_planes).T  # (dim, planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit weights
+
+    @pandas_udf(IntegerType())
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (batch, dim) float
+        proj = mat.astype(np.float64) @ planes_t  # (batch, planes)
+        return pd.Series(((proj >= 0) @ weights).astype(np.int32))
+
+    return bucket(vec_col)
 
 
 def lsh_cosine_topk(
