@@ -46,15 +46,16 @@ from neural_search_spark.index.segments import build_segments, write_segments
 STAGES = ["docs", "postings", "doclens", "term_stats", "segments"]
 
 
-def _content_checksum(df: DataFrame) -> str:
-    """Order-insensitive content checksum: sum of per-row xxhash64 over all
-    columns (internal lineage only — not an engine-parity surface)."""
+def _count_and_checksum(df: DataFrame) -> tuple[int, str]:
+    """Order-insensitive content checksum + row count in ONE job: sum of
+    per-row xxhash64 over all columns (internal lineage only — not an
+    engine-parity surface)."""
     cols = [F.col(c).cast("string") for c in df.columns]
     row = df.agg(
         F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),  # no long overflow (ANSI)
         F.count("*").alias("n"),
     ).first()
-    return f"{row['h']}:{row['n']}"
+    return int(row["n"]), f"{row['h']}:{row['n']}"
 
 
 @dataclass
@@ -189,8 +190,7 @@ def build_index(
 
     def produce_docs(out_path: str):
         assign_doc_ids_to_parquet(transcripts, out_path)
-        written = spark.read.parquet(out_path)
-        return written.count(), _content_checksum(written)
+        return _count_and_checksum(spark.read.parquet(out_path))
 
     run_stage("docs", produce_docs)
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
@@ -199,8 +199,7 @@ def build_index(
         # one tokenize+explode+groupBy pass, materialized; term_stats and
         # segments read THIS parquet instead of re-deriving from raw text
         build_postings(docs).write.mode("overwrite").parquet(out_path)
-        written = spark.read.parquet(out_path)
-        return written.count(), _content_checksum(written)
+        return _count_and_checksum(spark.read.parquet(out_path))
 
     run_stage("postings", produce_postings)
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
@@ -208,8 +207,7 @@ def build_index(
     def produce_doclens(out_path: str):
         dl = build_doclens(docs)
         dl.write.mode("overwrite").parquet(out_path)
-        written = spark.read.parquet(out_path)
-        return written.count(), _content_checksum(written)
+        return _count_and_checksum(spark.read.parquet(out_path))
 
     run_stage("doclens", produce_doclens)
     doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
@@ -217,8 +215,7 @@ def build_index(
     def produce_term_stats(out_path: str):
         stats = build_term_stats(postings)
         stats.write.mode("overwrite").parquet(out_path)
-        written = spark.read.parquet(out_path)
-        return written.count(), _content_checksum(written)
+        return _count_and_checksum(spark.read.parquet(out_path))
 
     run_stage("term_stats", produce_term_stats)
     term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
@@ -233,8 +230,7 @@ def build_index(
             kwargs["postings_per_salt"] = postings_per_salt
         segs = build_segments(pdl, avgdl=avgdl, max_doc_id=n_docs - 1, term_stats=term_stats, **kwargs)
         write_segments(segs, out_path)
-        written = spark.read.parquet(out_path)
-        return written.count(), _content_checksum(written.drop("shard"))
+        return _count_and_checksum(spark.read.parquet(out_path).drop("shard"))
 
     run_stage("segments", produce_segments)
 
