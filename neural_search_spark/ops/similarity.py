@@ -16,6 +16,8 @@ deterministic, reproducible in any engine, no stored model state.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,8 +66,6 @@ def _plane_sign(plane: int, dim: int) -> int:
 
 
 def _plane_matrix(dim: int, n_planes: int):
-    import numpy as np
-
     return np.array(
         [[_plane_sign(p, d) for d in range(dim)] for p in range(n_planes)], dtype=np.float64
     )
@@ -77,8 +77,6 @@ def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     Implemented as an Arrow-batched pandas UDF doing one (batch × dim) @
     (dim × planes) matrix multiply — a column-expression version would be a
     dim×planes-term codegen expression that overflows janino at 64×8."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 

@@ -97,8 +97,13 @@ print(json.dumps({{"cpus": cpus, "wall_sec": round(best["wall"], 2),
 def run_level(repo: str, cpus: int, turns: int, shuffle: int, trials: int = 3, tokens: int = 24) -> dict:
     seg_path = os.path.join(repo, ".bench_tmp", f"scale_{cpus}")
     script = CHILD.format(repo=repo)
+    # pin the whole process tree (JVM, GC threads, python daemons) to
+    # exactly `cpus` hardware threads: local[N] only bounds TASK slots —
+    # unpinned, a "2-core" run was measured using 2.6 effective cores via
+    # JVM background threads, corrupting the N-vs-4N comparison
+    pin = ["taskset", "-c", f"0-{cpus - 1}"]
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(turns), str(shuffle), seg_path, str(trials), str(tokens)],
+        pin + [sys.executable, "-c", script, str(cpus), str(turns), str(shuffle), seg_path, str(trials), str(tokens)],
         capture_output=True, text=True, timeout=3000,
     )
     if out.returncode != 0:
