@@ -83,11 +83,14 @@ def wand_topk(
     k1: float = K1,
     b: float = B,
     prune: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(rank, docID, score) exact BM25 top-k over the segment table.
 
     `prune=False` decodes every block of every query term (the correctness
-    baseline the pruned path is asserted against)."""
+    baseline the pruned path is asserted against). `stats_out`, if given, is
+    filled with pruning telemetry: total/surviving/rescued block counts and
+    the seeded θ."""
     spark = segments.sparkSession
     if not isinstance(terms, dict):
         terms = {t: 1.0 for t in sorted(set(terms))}
@@ -173,6 +176,15 @@ def wand_topk(
             )
             # materialize before unpersisting the cached intermediates
             rows = _ranked(total, k).collect()
+            if stats_out is not None:
+                stats_out.update(
+                    {
+                        "theta": theta,
+                        "blocks_total": qblocks.count(),
+                        "blocks_surviving": surviving.count(),
+                        "blocks_rescued": rescue_blocks.count(),
+                    }
+                )
             return spark.createDataFrame(rows, "rank int, docID long, score double")
         finally:
             surv_scored.unpersist()

@@ -171,3 +171,24 @@ def test_store_build_and_resume(spark, tmp_path):
     # changed source fingerprint invalidates every stage
     r4 = build_index(spark, tr, out, source_fingerprint="synth:OTHER")
     assert [s.skipped for s in r4] == [False] * 5
+
+
+def test_wand_pruning_actually_prunes(spark, transcripts, index_tables, segments):
+    """On the Zipf-skewed corpus, a head-term query with small k must skip a
+    substantial share of blocks, stay exact, and rescue only what the
+    zone-maps require."""
+    m = index_tables.meta.first()
+    docs = {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
+    # single-term, k=1: θ equals the best score, so only blocks whose
+    # max-score bound reaches it survive — the sharpest pruning case
+    terms = ["the"]
+    stats: dict = {}
+    got = wand_topk(
+        segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
+        terms, k=1, stats_out=stats,
+    ).collect()
+    exp = oracle.topk(oracle.bm25_scores(docs, terms), 1)
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+    assert stats["blocks_total"] > 0
+    assert stats["blocks_surviving"] < stats["blocks_total"], stats
+    assert stats["theta"] > 0
