@@ -45,6 +45,9 @@ def get_spark(
         # the vectorized encode/decode UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

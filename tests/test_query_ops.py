@@ -271,3 +271,31 @@ def test_multimodal_fake_features(spark):
     }
     with pytest.raises(NotImplementedError):
         real_decode_stub(b"x", "image/png")
+
+
+def test_lsh_cosine_recall_and_determinism(spark):
+    """Sign-LSH ANN: with probe_hamming == n_planes the candidate set is
+    exhaustive so results equal exact cosine; at the default probe radius
+    recall@10 against exact must be substantial on random vectors."""
+    import numpy as np
+    from neural_search_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(400, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    q = [float(x) for x in vecs[7]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    exhaustive = [
+        r["vec_id"]
+        for r in lsh_cosine_topk(emb, q, k=10, n_planes=8, probe_hamming=8).collect()
+    ]
+    assert exhaustive == exact
+    approx = [
+        r["vec_id"] for r in lsh_cosine_topk(emb, q, k=10, n_planes=8, probe_hamming=2).collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.5, f"recall@10 {recall}"
+    assert approx[0] == 7  # the query vector itself always lands in-bucket
