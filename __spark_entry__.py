@@ -236,12 +236,14 @@ def q_bm25_prefilter_top10(spark, sf_dir):
 
 
 def q_bm25_post_filter_top10(spark, sf_dir):
-    """Post-filter: applied AFTER the global top-k, shrinking the result
-    list (FilteredCollector semantics, HybridCollectorManager.java:93-102)."""
+    """Post-filter with FilteredCollector semantics (HybridCollectorManager
+    .java:121-127): scores/stats are global, but non-passing docs are never
+    collected — the filter restricts candidates BEFORE top-k selection, so
+    the caller gets k passing hits whose scores match an unfiltered run."""
     docs = _docs(spark, sf_dir)
-    topk = _ranked(_bm25_scores_rounded(_index(spark, sf_dir), Q_BM25), "score", "doc_id", K)
+    scored = _bm25_scores_rounded(_index(spark, sf_dir), Q_BM25)
     keep = docs.where(F.col("source").isin(*[f"src{i}" for i in range(10)])).select("doc_id")
-    return topk.join(keep, "doc_id", "left_semi").select("rank", "doc_id", "score")
+    return _ranked(scored.join(keep, "doc_id", "left_semi"), "score", "doc_id", K)
 
 
 def q_sparse_linear_top10(spark, sf_dir):
@@ -272,8 +274,7 @@ def _hybrid(spark, sf_dir, normalization, combination):
         per.append(
             s.select(F.lit(idx).alias("subquery_idx"), "docID", F.round("score", 6).alias("score"))
         )
-    union = per[0].unionByName(per[1])
-    bounded = hybrid.per_subquery_topk(union, K)
+    bounded = hybrid.bounded_subquery_union(per, K)
     normalized = hybrid.normalize_scores(bounded, normalization)
     combined = hybrid.combine_scores(normalized, 2, combination)
     return _ranked(combined.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
@@ -614,11 +615,10 @@ def oracle_sql() -> dict[str, str]:
   {_sql_bm25_scored(Q_BM25, "s_all")},
   scored as (select s.* from s_all s join documents d on s.doc_id = d.doc_id where d.lang = 'en')
   {_sql_rank("scored", "score", "doc_id", K)}""",
-        "bm25_post_filter_top10": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},
-  topk as ({_sql_rank("scored", "score", "doc_id", K)})
-  select t.rank, t.doc_id, t.score from topk t
-  join documents d on t.doc_id = d.doc_id
-  where d.source in ({", ".join(f"'src{i}'" for i in range(10))})""",
+        "bm25_post_filter_top10": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25, "s_all")},
+  scored as (select s.* from s_all s join documents d on s.doc_id = d.doc_id
+             where d.source in ({", ".join(f"'src{i}'" for i in range(10))}))
+  {_sql_rank("scored", "score", "doc_id", K)}""",
         "sparse_linear_top10": f"""with {SQL_INDEX_CTES},
   q as {_sql_values(Q_SPARSE)},
   scored as (

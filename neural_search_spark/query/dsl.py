@@ -204,11 +204,21 @@ class QueryEngine:
         sort: list[tuple[str, str]] | None = None,
         search_after: list | None = None,
     ) -> DataFrame:
-        """Execute a DSL query → (rank, docID, score). `post_filter` is a
-        filter predicate applied AFTER scoring/top-k (FilteredCollector
-        semantics, HybridCollectorManager.java:93-102). `sort` is a list of
-        (docs-column, 'asc'|'desc'); `search_after` a cursor of sort-key
-        values (PagingFieldCollector.java:88-95)."""
+        """Execute a DSL query → (rank, docID, score).
+
+        `post_filter` restricts the CANDIDATES, not the result list: scores
+        and collection stats are computed globally, then non-passing docs are
+        dropped BEFORE top-k selection, so the caller gets k *passing* hits
+        whose scores are identical to an unfiltered run — FilteredCollector
+        wraps the collector, non-passing docs are never collected
+        (search/query/HybridCollectorManager.java:121-127).
+
+        `sort` is a list of (docs-column, 'asc'|'desc'); `search_after` a
+        cursor of sort-key values, optionally followed by a final docID
+        element. The reference's PagingFieldCollector skips doc <= afterDoc
+        only when every sort key ties (PagingFieldCollector.java:88-95), so
+        a cursor that includes the docID pages through sort-key ties instead
+        of silently skipping them."""
         (kind,) = query.keys()
         if kind == "hybrid":
             body = query[kind]
@@ -225,16 +235,26 @@ class QueryEngine:
                     raise QueryValidationError("hybrid cannot nest hybrid")
                 s = self._score(sub, None, in_hybrid=True, k=body.get("subquery_k", k))
                 per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
-            union = per[0]
-            for p in per[1:]:
-                union = union.unionByName(p)
-            bounded = hybrid_mod.per_subquery_topk(union, body.get("subquery_k", k))
+            # each sub-query bounded by TakeOrderedAndProject before the
+            # union — the reference's per-sub-query bounded heap
+            # (HybridTopScoreDocCollector.java:126-133); no per-subquery
+            # global sort anywhere in the plan
+            bounded = hybrid_mod.bounded_subquery_union(per, body.get("subquery_k", k))
             normalized = hybrid_mod.normalize_scores(bounded, body.get("normalization", "min_max"))
             scored = hybrid_mod.combine_scores(
                 normalized, len(subs), body.get("combination", "arithmetic_mean"), body.get("weights")
             )
         else:
             scored = self._score(query, None, k=k)
+
+        if post_filter is not None:
+            # candidate restriction BEFORE top-k: scores/stats stay global,
+            # non-passing docs never enter the collector
+            # (FilteredCollector, HybridCollectorManager.java:121-127)
+            keep = self.docs.where(filter_condition(post_filter)).select(
+                F.col(self.id_col).alias("docID")
+            )
+            scored = scored.join(keep, "docID", "left_semi")
 
         if sort:
             meta_cols = self.docs.withColumnRenamed(self.id_col, "_did")
@@ -243,7 +263,12 @@ class QueryEngine:
                 (F.col(c).desc() if d == "desc" else F.col(c).asc()) for c, d in sort
             ] + [F.col("docID").asc()]
             if search_after is not None:
-                # lexicographic (sortkeys, docID) > cursor
+                if len(search_after) not in (len(sort), len(sort) + 1):
+                    raise QueryValidationError(
+                        "search_after cursor must carry one value per sort key, "
+                        "plus optionally the cursor docID as the final element"
+                    )
+                # lexicographic (sortkeys[, docID]) > cursor
                 cond = None
                 prev_eq = F.lit(True)
                 for (c, d), cur in zip(sort, search_after):
@@ -251,6 +276,11 @@ class QueryEngine:
                     step = prev_eq & this
                     cond = step if cond is None else cond | step
                     prev_eq = prev_eq & (F.col(c) == F.lit(cur))
+                if len(search_after) == len(sort) + 1:
+                    # PagingFieldCollector.java:88-95: when every sort key
+                    # ties, skip only docs <= the cursor doc — rows tied on
+                    # the sort keys but with a later docID stay eligible
+                    cond = cond | (prev_eq & (F.col("docID") > F.lit(search_after[-1])))
                 joined = joined.where(cond)
             from pyspark.sql import Window
 
@@ -262,12 +292,6 @@ class QueryEngine:
             )
         else:
             result = topk(scored, k)
-
-        if post_filter is not None:
-            keep = self.docs.where(filter_condition(post_filter)).select(
-                F.col(self.id_col).alias("docID")
-            )
-            result = result.join(keep, "docID", "left_semi").select(result.columns)
         return result
 
     def fetch(self, result: DataFrame) -> DataFrame:

@@ -41,9 +41,44 @@ MAX_SUBQUERIES = 5  # HybridQueryBuilder.java:56
 
 def per_subquery_topk(scores: DataFrame, k: int) -> DataFrame:
     """Bound each sub-query's result list to its own top-k (rank by score
-    desc, docID asc within subquery_idx)."""
-    w = Window.partitionBy("subquery_idx").orderBy(F.col("score").desc(), F.col("docID").asc())
-    return scores.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k).drop("_r")
+    desc, docID asc within subquery_idx).
+
+    Two-level top-k — the bounded-heap analog of the reference's per-shard
+    HitQueue + coordinator merge (search/collector/HybridTopScoreDocCollector
+    .java:126-133). Level 1 ranks within each (subquery_idx, spark partition)
+    — distributed across all partitions, never a per-subquery global sort —
+    and keeps ≤ k rows per partition. Level 2 ranks the ≤ n_partitions·k
+    survivors per sub-query (coordinator-scale input). A common term at 10^12
+    docs no longer funnels ~10^10 rows through one reducer.
+
+    Callers that hold the per-sub-query frames separately should prefer
+    `orderBy().limit(k)` per frame before the union (TakeOrderedAndProject);
+    this function covers the already-unioned shape.
+    """
+    order = [F.col("score").desc(), F.col("docID").asc()]
+    w_local = Window.partitionBy("subquery_idx", "_pid").orderBy(*order)
+    local = (
+        scores.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= k)
+        .drop("_r", "_pid")
+    )
+    w_global = Window.partitionBy("subquery_idx").orderBy(*order)
+    return local.withColumn("_r", F.row_number().over(w_global)).where(F.col("_r") <= k).drop("_r")
+
+
+def bounded_subquery_union(per: list[DataFrame], k: int) -> DataFrame:
+    """Per-sub-query bounded top-k BEFORE the union: each frame compiles to
+    TakeOrderedAndProject (per-partition bounded heaps + driver merge), so no
+    sub-query ever materializes more than k rows past its scan. `per` frames
+    must carry (subquery_idx, docID, score)."""
+    bounded = [
+        p.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k) for p in per
+    ]
+    union = bounded[0]
+    for p in bounded[1:]:
+        union = union.unionByName(p)
+    return union
 
 
 def normalize_scores(scores: DataFrame, technique: str = "min_max") -> DataFrame:
@@ -130,10 +165,7 @@ def hybrid_topk(
     for idx, terms in enumerate(subqueries):
         s = bm25_score_all(index.postings, index.doclens, index.term_stats, index.meta, terms, k1, b)
         per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
-    union = per[0]
-    for p in per[1:]:
-        union = union.unionByName(p)
-    bounded = per_subquery_topk(union, subquery_k)
+    bounded = bounded_subquery_union(per, subquery_k)
     normalized = normalize_scores(bounded, normalization)
     combined = combine_scores(normalized, len(subqueries), combination, weights)
     top = combined.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k)

@@ -18,17 +18,65 @@ from neural_search_spark.query.bm25 import bm25_topk
 from tests import oracle
 
 
-@given(st.integers(min_value=0, max_value=2**40))
+@given(st.integers(min_value=0, max_value=2**31 - 1))
 @settings(max_examples=300, deadline=None)
 def test_int4_properties(n):
     q = int4_quantize_py(n)
-    # monotone round-down with ≤1/8 relative error; exact below 8
+    # monotone round-down with ≤1/8 relative error; exact below 24
+    # (SmallFloat reserves NUM_FREE_VALUES=24 exact low codes)
     assert q <= n
-    if n < 8:
+    if n < 24:
         assert q == n
     else:
         assert n - q < n / 8
     assert int4_quantize_py(q) == q  # idempotent
+
+
+# -- pure-Python port of Lucene SmallFloat intToByte4/byte4ToInt, written
+# from the public format description, as the parity oracle ------------------
+
+
+def _long_to_int4(i: int) -> int:
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        return i
+    shift = num_bits - 4
+    encoded = (i >> shift) & 0x07  # clear the implicit leading bit
+    return encoded | ((shift + 1) << 3)
+
+
+def _int4_to_long(b: int) -> int:
+    bits = b & 0x07
+    shift = (b >> 3) - 1
+    if shift == -1:
+        return bits  # subnormal
+    return (bits | 0x08) << shift
+
+
+_NUM_FREE = 255 - _long_to_int4(2**31 - 1)  # = 24
+
+
+def _small_float_roundtrip(n: int) -> int:
+    if n < _NUM_FREE:
+        return n
+    return _int4_to_long(_long_to_int4(n - _NUM_FREE)) + _NUM_FREE
+
+
+def test_int4_matches_smallfloat_port():
+    assert _NUM_FREE == 24
+    # the ADVICE.md counter-examples plus a dense sweep
+    assert int4_quantize_py(17) == 17
+    assert int4_quantize_py(25) == 25
+    assert int4_quantize_py(45) == 44
+    assert int4_quantize_py(100) == 96
+    for n in list(range(0, 4096)) + [10_000, 123_456, 2**20, 2**31 - 1]:
+        assert int4_quantize_py(n) == _small_float_roundtrip(n), n
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=300, deadline=None)
+def test_int4_matches_smallfloat_port_prop(n):
+    assert int4_quantize_py(n) == _small_float_roundtrip(n)
 
 
 def test_int4_np_and_col_match_py(spark):

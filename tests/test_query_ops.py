@@ -224,15 +224,51 @@ def test_dsl_sort_and_search_after(spark, transcripts, engine):
     assert all(k2 > tuple(cursor) for k2 in keys2)
 
 
-def test_dsl_post_filter_shrinks_results(spark, transcripts, engine):
-    full = engine.search({"match": {"text": {"query": "the data"}}}, k=10).collect()
-    filtered = engine.search(
-        {"match": {"text": {"query": "the data"}}}, k=10, post_filter={"eq": ["role", "tool"]}
-    ).collect()
+def test_dsl_search_after_docid_tiebreak(spark, transcripts, engine):
+    """PagingFieldCollector.java:88-95: when sort keys tie at the cursor,
+    only docs <= the cursor doc are skipped — paging a heavily-tied sort key
+    with a (key, docID) cursor visits every doc exactly once."""
+    n_docs = transcripts.count()
+    sort = [("role", "asc")]  # few distinct values → massive ties
+    seen: list[int] = []
+    cursor = None
+    for _ in range(1000):
+        rows = engine.search(
+            {"match_all": {}}, k=7, sort=sort,
+            search_after=cursor,
+        ).collect()
+        if not rows:
+            break
+        seen.extend(r["docID"] for r in rows)
+        cursor = [rows[-1]["role"], rows[-1]["docID"]]
+    assert len(seen) == n_docs
+    assert len(set(seen)) == n_docs  # no doc skipped or repeated
+
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    with pytest.raises(QueryValidationError, match="cursor"):
+        engine.search({"match_all": {}}, k=5, sort=sort, search_after=[1, 2, 3])
+
+
+def test_dsl_post_filter_filtered_collector_semantics(spark, transcripts, engine):
+    """FilteredCollector (HybridCollectorManager.java:121-127): post_filter
+    restricts candidates BEFORE top-k — the caller gets k *passing* hits
+    whose scores are identical to the unfiltered run (stats stay global)."""
+    q = {"match": {"text": {"query": "the data"}}}
+    full = {r["docID"]: r["score"] for r in engine.search(q, k=100_000).collect()}
+    k = 5
+    filtered = engine.search(q, k=k, post_filter={"eq": ["role", "tool"]}).collect()
     roles = {r["docID"]: r["role"] for r in transcripts.select("docID", "role").collect()}
-    assert {r["docID"] for r in filtered} == {
-        r["docID"] for r in full if roles[r["docID"]] == "tool"
-    }
+    passing = sorted(
+        ((d, s) for d, s in full.items() if roles[d] == "tool"),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert len(passing) >= k, "fixture must have >= k passing docs"
+    # exactly k passing hits — matching docs beyond unfiltered rank k are kept
+    assert [r["docID"] for r in filtered] == [d for d, _ in passing[:k]]
+    # scores unaffected by the filter
+    for r in filtered:
+        assert r["score"] == pytest.approx(full[r["docID"]], rel=1e-12)
 
 
 # ---------------------------------------------------------------------------
