@@ -40,7 +40,9 @@ Q_HY_A = {"spark": 1.0, "stream": 1.0}
 Q_HY_B = {"customer": 1.0, "vector": 1.0, "batch": 1.0}
 K = 10
 CHUNK_LIMIT, CHUNK_OVERLAP = 20, 0.25  # step 15
+CHUNK_MAXN = 3  # max_chunk_limit for the *_limited chunk queries
 DELIM = " the "
+WS_PATTERN = "[^ \\t\\n\\r\\f]+"  # whitespace word tokenizer (same regex in DuckDB)
 JACCARD_N, JACCARD_THRESHOLD = 3, 0.05
 MINHASH_K, MINHASH_BANDS = 8, 4
 SIMHASH_BITS = 32
@@ -365,6 +367,32 @@ def q_chunk_delimiter(spark, sf_dir):
     )
 
 
+def q_chunk_delimiter_limited(spark, sf_dir):
+    """Delimiter chunking with max_chunk_limit: tail past the limit merges
+    into one final unsplit chunk (Chunker.java:43-48 + DelimiterChunker
+    .java:63-74)."""
+    return ops.chunk_delimiter(
+        _docs(spark, sf_dir), delimiter=DELIM, max_chunk_limit=CHUNK_MAXN
+    ).select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text")
+
+
+def q_chunk_fixed_whitespace_limited(spark, sf_dir):
+    """Fixed-token-length chunking with the whitespace word tokenizer and a
+    max_chunk_limit (FixedTokenLengthChunker.java:44-52 tokenizer choice;
+    :138-142 limit overflow merges the tail into the final chunk)."""
+    return ops.chunk_fixed_token_length(
+        _docs(spark, sf_dir),
+        token_limit=CHUNK_LIMIT,
+        tokenizer="whitespace",
+        max_chunk_limit=CHUNK_MAXN,
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def q_cosine_top10(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism
@@ -574,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_fingerprint": q_content_fingerprint,
         "chunk_fixed_token_length": q_chunk_fixed,
         "chunk_delimiter": q_chunk_delimiter,
+        "chunk_delimiter_limited": q_chunk_delimiter_limited,
+        "chunk_fixed_whitespace_limited": q_chunk_fixed_whitespace_limited,
         "cosine_top10": q_cosine_top10,
         "lsh_cosine_top10": q_lsh_cosine_top10,
         "events_hourly_agg": q_events_hourly_agg,
@@ -687,19 +717,66 @@ def oracle_sql() -> dict[str, str]:
   select doc_id,
          md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) as fingerprint
   from documents""",
+        # window count stops at the first window reaching the end of the
+        # tokens (FixedTokenLengthChunker.java:146-151) — a short tail is
+        # never emitted as an extra overlapped chunk
         "chunk_fixed_token_length": f"""
-  with ta as ({SQL_TOKARR})
-  select doc_id,
-         ((i - 1) // {step})::BIGINT as chunk_idx,
-         array_to_string(toks[i:least(i + {CHUNK_LIMIT - 1}, len(toks))], ' ') as chunk_text,
-         (least(i + {CHUNK_LIMIT - 1}, len(toks)) - i + 1)::BIGINT as n_chunk_tokens
-  from ta, unnest(generate_series(1, len(toks), {step})) as t(i)
-  where len(toks) > 0""",
+  with ta as ({SQL_TOKARR}),
+  base as (
+    select doc_id, toks, len(toks) as nt,
+           case when len(toks) <= {CHUNK_LIMIT} then 1
+                else ((len(toks) - {CHUNK_LIMIT} + {step} - 1) // {step}) + 1 end as c
+    from ta where len(toks) > 0
+  )
+  select doc_id, (i - 1)::BIGINT as chunk_idx,
+         array_to_string(toks[((i - 1) * {step} + 1):least((i - 1) * {step} + {CHUNK_LIMIT}, nt)], ' ') as chunk_text,
+         (least((i - 1) * {step} + {CHUNK_LIMIT}, nt) - (i - 1) * {step})::BIGINT as n_chunk_tokens
+  from base, unnest(generate_series(1, c)) as t(i)""",
+        # reference DelimiterChunker parity: every chunk before the last
+        # keeps its trailing delimiter; the remainder is kept only if
+        # non-empty (delimiter-only chunks from consecutive delims survive)
         "chunk_delimiter": f"""
-  select doc_id, (i - 1)::BIGINT as chunk_idx, parts[i] as chunk_text
+  select doc_id, (i - 1)::BIGINT as chunk_idx,
+         case when i < len(parts) then parts[i] || '{DELIM}' else parts[i] end as chunk_text
   from (select doc_id, string_split(text, '{DELIM}') as parts from documents),
        unnest(generate_series(1, len(parts))) as t(i)
-  where length(parts[i]) > 0""",
+  where i < len(parts) or length(parts[i]) > 0""",
+        "chunk_delimiter_limited": f"""
+  with nat as (
+    select doc_id, parts, len(parts) as np,
+           (len(parts) - 1
+            + case when length(parts[len(parts)]) > 0 then 1 else 0 end) as c
+    from (select doc_id, string_split(text, '{DELIM}') as parts from documents)
+  )
+  select doc_id, (i - 1)::BIGINT as chunk_idx,
+         case when c > {CHUNK_MAXN} and i = {CHUNK_MAXN}
+                then array_to_string(parts[{CHUNK_MAXN}:np], '{DELIM}')
+              when i < np then parts[i] || '{DELIM}'
+              else parts[i] end as chunk_text
+  from nat, unnest(generate_series(1, case when c > {CHUNK_MAXN} then {CHUNK_MAXN} else np end)) as t(i)
+  where c > {CHUNK_MAXN} or i < np or length(parts[np]) > 0""",
+        "chunk_fixed_whitespace_limited": f"""
+  with ta as (
+    select doc_id, regexp_extract_all(text, '{WS_PATTERN}') as toks from documents
+  ),
+  base as (
+    select doc_id, toks, len(toks) as nt,
+           case when len(toks) = 0 then 0
+                else ((len(toks) - 1) // {CHUNK_LIMIT}) + 1 end as c
+    from ta
+  )
+  select doc_id, (i - 1)::BIGINT as chunk_idx,
+         case when c > {CHUNK_MAXN} and i = {CHUNK_MAXN}
+                then array_to_string(toks[((i - 1) * {CHUNK_LIMIT} + 1):nt], ' ')
+              else array_to_string(
+                toks[((i - 1) * {CHUNK_LIMIT} + 1):least((i - 1) * {CHUNK_LIMIT} + {CHUNK_LIMIT}, nt)], ' ')
+              end as chunk_text,
+         (case when c > {CHUNK_MAXN} and i = {CHUNK_MAXN}
+                then nt - (i - 1) * {CHUNK_LIMIT}
+              else least((i - 1) * {CHUNK_LIMIT} + {CHUNK_LIMIT}, nt) - (i - 1) * {CHUNK_LIMIT}
+              end)::BIGINT as n_chunk_tokens
+  from base, unnest(generate_series(1, case when c > {CHUNK_MAXN} then {CHUNK_MAXN} else c end)) as t(i)
+  where nt > 0""",
         "cosine_top10": f"""
   with q as (select embedding::DOUBLE[] as qe from embeddings where vec_id = 0),
   scored as (

@@ -26,16 +26,45 @@ _PY_RE = re.compile(TOKEN_PATTERN)
 # DuckDB-equivalent expression, for oracle SQL construction.
 DUCKDB_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 
+# Word-tokenizer registry — the engine analog of the reference's word
+# tokenizer choices for fixed-length chunking (FixedTokenLengthChunker.java:
+# 44-52: standard/letter/lowercase/whitespace/uax_url_email/classic/thai).
+# Each entry is (regex pattern, lowercase-first). All are exactly
+# reproducible in DuckDB (regexp_extract_all) for oracle parity; the
+# Unicode-aware variants (uax_url_email/classic/thai) need ICU analysis and
+# are intentionally not offered rather than approximated.
+WORD_TOKENIZERS: dict[str, tuple[str, bool]] = {
+    "standard": ("[a-z0-9]+", True),  # our "standard-ish" default analyzer
+    "lowercase": ("[a-z]+", True),  # letter runs, lowercased
+    "letter": ("[A-Za-z]+", False),  # letter runs, case preserved
+    "whitespace": ("[^ \\t\\n\\r\\f]+", False),  # non-whitespace runs
+}
 
-def tokenize_col(col: Column | str) -> Column:
+
+def duckdb_tokenize(col_expr: str, tokenizer: str = "standard") -> str:
+    """DuckDB SQL expression mirroring tokenize_col for oracle construction."""
+    pattern, lower = WORD_TOKENIZERS[tokenizer]
+    inner = f"lower({col_expr})" if lower else col_expr
+    return f"regexp_extract_all({inner}, '{pattern}')"
+
+
+def tokenize_col(col: Column | str, tokenizer: str = "standard") -> Column:
     """text column -> array<string> of tokens (JVM-side, codegen'd)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+    if tokenizer not in WORD_TOKENIZERS:
+        raise ValueError(
+            f"tokenizer [{tokenizer}] is not supported; choose from {sorted(WORD_TOKENIZERS)}"
+        )
+    pattern, lower = WORD_TOKENIZERS[tokenizer]
+    if lower:
+        c = F.lower(c)
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
 
 
-def tokenize_py(text: str) -> list[str]:
+def tokenize_py(text: str, tokenizer: str = "standard") -> list[str]:
     """Pure-Python mirror of tokenize_col, for test oracles only."""
-    return _PY_RE.findall(text.lower())
+    pattern, lower = WORD_TOKENIZERS[tokenizer]
+    return re.findall(pattern, text.lower() if lower else text)
 
 
 def tokenizer_hash() -> str:
