@@ -46,6 +46,7 @@ WS_PATTERN = "[^ \\t\\n\\r\\f]+"  # whitespace word tokenizer (same regex in Duc
 JACCARD_N, JACCARD_THRESHOLD = 3, 0.05
 MINHASH_K, MINHASH_BANDS = 8, 4
 SIMHASH_BITS = 32
+SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 
 # ---------------------------------------------------------------------------
@@ -330,8 +331,32 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ops.ngram_jaccard_pairs(_docs(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD)
 
 
+def q_lsh_jaccard_verified(spark, sf_dir):
+    """The full near-dup scale pipeline: MinHash-LSH candidate pairs →
+    candidate-first n-gram Jaccard verification (doc scan pruned to
+    candidate ids; no quadratic shingle self-join anywhere)."""
+    docs = _docs(spark, sf_dir)
+    cand = ops.minhash_lsh_pairs(docs, n=JACCARD_N, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    return ops.ngram_jaccard_pairs(
+        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD, candidates=cand
+    )
+
+
 def q_simhash(spark, sf_dir):
     return ops.simhash(_docs(spark, sf_dir), n=JACCARD_N, bits=SIMHASH_BITS)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pair search: band-bucketed hamming-ball lookup
+    (complete for hamming ≤ max_hamming by pigeonhole), exact
+    bit_count(xor) verify — never an all-pairs join."""
+    return ops.simhash_pairs(
+        _docs(spark, sf_dir),
+        n=JACCARD_N,
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
 
 
 def q_quality_features(spark, sf_dir):
@@ -543,31 +568,71 @@ def _oracle_two_phase() -> str:
   {_sql_rank("rescored", "score", "doc_id", K)}"""
 
 
-def _oracle_simhash() -> str:
+def _sql_simhash_ctes() -> str:
+    """CTE chain ending in `sims(id, simhash)`."""
     bit_aggs = ", ".join(f"sum((h >> {j}) & 1)::BIGINT as b{j}" for j in range(SIMHASH_BITS))
     val = " + ".join(
         f"(case when 2 * b{j} >= n_sh then 1::BIGINT else 0::BIGINT end << {j})"
         for j in range(SIMHASH_BITS)
     )
-    return f"""with {SQL_SHINGLES},
+    return f"""{SQL_SHINGLES},
   h as (select id, {_sql_hash60('shingle')} % {1 << SIMHASH_BITS} as h from shingles),
-  counted as (select id, count(*)::BIGINT as n_sh, {bit_aggs} from h group by id)
-  select id, ({val})::BIGINT as simhash from counted"""
+  counted as (select id, count(*)::BIGINT as n_sh, {bit_aggs} from h group by id),
+  sims as (select id, ({val})::BIGINT as simhash from counted)"""
 
 
-def _oracle_lsh_pairs() -> str:
+def _oracle_simhash() -> str:
+    return f"with {_sql_simhash_ctes()} select id, simhash from sims"
+
+
+def _oracle_simhash_pairs() -> str:
+    # quadratic in the oracle only (DuckDB at sf0.01); the Spark plan is the
+    # band-bucketed hamming-ball search, complete by pigeonhole
+    return f"""with {_sql_simhash_ctes()}
+  select a.id as id_a, b.id as id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT as hamming
+  from sims a join sims b on a.id < b.id
+  where bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+def _sql_lsh_cand_ctes() -> str:
+    """CTE chain ending in `cand(id_a, id_b)` = the LSH candidate pairs."""
     r = MINHASH_K // MINHASH_BANDS
     bands = []
     for b in range(MINHASH_BANDS):
         key = " || ',' || ".join(f"mh_{b * r + i}::VARCHAR" for i in range(r))
         bands.append(f"select id, {b} as band, md5({key}) as band_key from sig")
     banded = " union all ".join(bands)
-    return f"""with {SQL_SHINGLES},
+    return f"""{SQL_SHINGLES},
   {_sql_minhash_sig()},
-  banded as ({banded})
-  select distinct a.id as id_a, b.id as id_b
-  from banded a join banded b on a.band = b.band and a.band_key = b.band_key
-  where a.id < b.id"""
+  banded as ({banded}),
+  cand as (
+    select distinct a.id as id_a, b.id as id_b
+    from banded a join banded b on a.band = b.band and a.band_key = b.band_key
+    where a.id < b.id
+  )"""
+
+
+def _oracle_lsh_pairs() -> str:
+    return f"with {_sql_lsh_cand_ctes()} select id_a, id_b from cand"
+
+
+def _oracle_lsh_jaccard() -> str:
+    return f"""with {_sql_lsh_cand_ctes()},
+  sizes as (select id, count(*)::BIGINT as n_sh from shingles group by id),
+  common as (
+    select c.id_a, c.id_b, count(*)::BIGINT as n_common
+    from cand c
+    join shingles a on a.id = c.id_a
+    join shingles b on b.id = c.id_b and b.shingle = a.shingle
+    group by 1, 2
+  ),
+  j as (
+    select c.id_a, c.id_b,
+           round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) as jaccard
+    from common c join sizes sa on c.id_a = sa.id join sizes sb on c.id_b = sb.id
+  )
+  select * from j where jaccard >= {JACCARD_THRESHOLD}"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -596,7 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
         "content_fingerprint": q_content_fingerprint,
@@ -669,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
   count(*)::BIGINT as n_dupes from documents group by 1""",
         "minhash_signatures": f"with {SQL_SHINGLES}, {_sql_minhash_sig()} select * from sig",
         "minhash_lsh_pairs": _oracle_lsh_pairs(),
+        "lsh_jaccard_verified": _oracle_lsh_jaccard(),
         "ngram_jaccard_pairs": f"""with {SQL_SHINGLES},
   sizes as (select id, count(*)::BIGINT as n_sh from shingles group by id),
   common as (
@@ -683,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
   )
   select * from j where jaccard >= {JACCARD_THRESHOLD}""",
         "simhash": _oracle_simhash(),
+        "simhash_pairs": _oracle_simhash_pairs(),
         "quality_features": f"""
   select doc_id,
          len(toks)::BIGINT as n_tokens,

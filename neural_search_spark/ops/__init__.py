@@ -18,6 +18,7 @@ from neural_search_spark.ops.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     shingle_col,
     simhash,
+    simhash_pairs,
 )
 from neural_search_spark.ops.chunking import (  # noqa: F401
     chunk_delimiter,

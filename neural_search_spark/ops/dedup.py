@@ -126,21 +126,45 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
-    If `candidates` (id_a, id_b) is given — normally the LSH output — only
-    those pairs are verified (the scale path); without it this is the
-    exact-but-quadratic variant for small corpora."""
+
+    With `candidates` (id_a, id_b) — normally the LSH output — the plan is
+    CANDIDATE-FIRST (the scale path): the document scan itself is restricted
+    to candidate ids (left-semi before shingling), and shared-shingle counts
+    come from joining the candidate pair list to per-doc shingle sets
+    directly — pair → (pair, shingles of a) → inner join on (id_b, shingle).
+    Work is linear in Σ|shingles(candidate docs)|; a stop-shingle shared by
+    10^6 non-candidate docs contributes nothing. Without `candidates` this
+    is the exact-but-quadratic all-pairs variant for small corpora only —
+    never run it raw at 10^12 docs."""
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b").where(F.col("id_a") < F.col("id_b")).distinct()
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # prune the expensive tokenize/shingle scan to candidate docs
+        df = df.join(ids, id_col, "left_semi")
     sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+        sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -170,3 +194,66 @@ def simhash(
         bit = (F.lit(2) * F.col(f"b{j}") >= F.col("n_sh")).cast("long")
         val = val + F.shiftleft(bit, j)
     return counted.select("id", val.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-dup pairs whose SimHash signatures are
+    within `max_hamming` bits.
+
+    Scale path (the hamming-ball analog of MinHash banding): the signature
+    is split into `bands` contiguous bit bands; by pigeonhole any pair with
+    hamming ≤ max_hamming < bands agrees EXACTLY on at least one band, so
+    candidates = pairs sharing a (band, band_value) bucket — one shuffle on
+    the band key, pair generation bucket-side, then an exact
+    bit_count(xor) verify. No all-pairs join anywhere; completeness (no
+    missed pair) is guaranteed, not probabilistic."""
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            "max_hamming must satisfy 0 <= max_hamming < bands "
+            "(pigeonhole completeness needs more bands than flipped bits)"
+        )
+    sig = simhash(df, text_col, id_col, n, bits)
+    width = bits // bands
+    band_vals = [
+        F.shiftright(F.col("simhash"), b * width) % F.lit(1 << width) for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "bv")
+    )
+    grouped = (
+        banded.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("rows"))
+        .where(F.size("rows") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("rows"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.id_a", "p.id_b", F.col("p.hamming").cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,99 @@
+"""Dedup operator tests: candidate-first Jaccard verification (the scale
+path) and SimHash hamming-ball pair search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.ops.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",        # 0
+        "the quick brown fox jumps over the lazy cat",        # 1 near-dup of 0
+        "completely different content about spark engines",   # 2
+        "completely different content about spark clusters",  # 3 near-dup of 2
+        "the quick brown fox jumps over the lazy dog",        # 4 exact dup of 0
+        "unrelated text with no overlap whatsoever here",     # 5
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_jaccard_candidate_first_matches_quadratic(spark, dup_docs):
+    """The candidate-first plan must return exactly the quadratic result
+    restricted to the candidate pairs."""
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, n=2, threshold=0.0).collect()
+    }
+    cand_pairs = [(0, 1), (2, 3), (0, 4), (0, 5)]
+    cand = spark.createDataFrame(cand_pairs, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, n=2, threshold=0.0, candidates=cand).collect()
+    }
+    exp = {p: j for p, j in full.items() if p in set(cand_pairs)}
+    assert got == exp
+    assert (0, 4) in got and got[(0, 4)] == 1.0  # exact dup
+    assert (0, 5) not in got  # candidate with zero shared shingles → no row
+
+
+def test_jaccard_candidate_first_plan_restricts_scan(spark, dup_docs):
+    """The doc scan must be pruned to candidate ids (left-semi before the
+    shingle explode) and the plan must not contain the quadratic
+    shingle-shingle self-join aggregation over non-candidate docs."""
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    plan = (
+        ngram_jaccard_pairs(dup_docs, n=2, threshold=0.0, candidates=cand)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan  # candidate-id restriction reaches the scan
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, dup_docs):
+    """Band-bucketed hamming-ball search is COMPLETE for hamming <=
+    max_hamming < bands (pigeonhole) — must equal the brute-force all-pairs
+    result exactly."""
+    sigs = {r["id"]: r["simhash"] for r in simhash(dup_docs, n=2, bits=32).collect()}
+    for max_h in (0, 2, 3):
+        exp = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(
+                dup_docs, n=2, bits=32, bands=4, max_hamming=max_h
+            ).collect()
+        }
+        assert got == exp, max_h
+    # exact dup pair (0, 4) at hamming 0
+    assert sigs[0] == sigs[4]
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(dup_docs, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_pairs(dup_docs, bits=32, bands=5, max_hamming=2)
+
+
+def test_lsh_pipeline_end_to_end(spark, dup_docs):
+    cand = minhash_lsh_pairs(dup_docs, n=2, num_hashes=8, bands=4)
+    verified = ngram_jaccard_pairs(dup_docs, n=2, threshold=0.5, candidates=cand).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in verified}
+    assert (0, 4) in pairs  # exact dup always survives
+    # every verified pair was a candidate
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert pairs <= cand_set
