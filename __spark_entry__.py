@@ -47,6 +47,7 @@ JACCARD_N, JACCARD_THRESHOLD = 3, 0.05
 MINHASH_K, MINHASH_BANDS = 8, 4
 SIMHASH_BITS = 32
 SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3
+EMB_DIM, LSH_PLANES, LSH_PROBE = 64, 8, 2
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 
 # ---------------------------------------------------------------------------
@@ -431,11 +432,20 @@ def q_cosine_top10(spark, sf_dir):
 
 
 def q_lsh_cosine_top10(spark, sf_dir):
+    """ANN scale path: bucket computed at INDEX time (lsh_index; at scale a
+    partition/cluster key of the stored table), query probes only the
+    buckets within the multi-probe hamming ball via an IN-list filter —
+    partition pruning, no per-row work per query."""
+    from neural_search_spark.ops.similarity import lsh_index
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ops.lsh_cosine_topk(emb, [float(x) for x in qvec], k=K).select(
+    indexed = lsh_index(emb, dim=EMB_DIM, n_planes=LSH_PLANES)
+    return ops.lsh_cosine_topk(
+        indexed, [float(x) for x in qvec], k=K, n_planes=LSH_PLANES, probe_hamming=LSH_PROBE
+    ).select(
         F.col("rank").cast("long").alias("rank"),
         "vec_id",
         F.round("cosine", 6).alias("cosine"),
@@ -633,6 +643,43 @@ def _oracle_lsh_jaccard() -> str:
     from common c join sizes sa on c.id_a = sa.id join sizes sb on c.id_b = sb.id
   )
   select * from j where jaccard >= {JACCARD_THRESHOLD}"""
+
+
+def _oracle_lsh_cosine() -> str:
+    """DuckDB mirror of the sign-LSH probe + exact cosine rerank. The ±1
+    plane coefficients are md5-derived and deterministic, so they are
+    embedded as literal arrays — the oracle re-derives the bucket of every
+    vector and of the query exactly as the engine does."""
+    from neural_search_spark.ops.similarity import _plane_matrix
+
+    mat = _plane_matrix(EMB_DIM, LSH_PLANES)  # (planes, dim) of ±1
+
+    def bucket_expr(vec: str) -> str:
+        parts = []
+        for p in range(LSH_PLANES):
+            arr = "[" + ",".join(str(int(v)) for v in mat[p]) + "]::DOUBLE[]"
+            parts.append(
+                f"(case when list_dot_product({vec}, {arr}) >= 0 then 1::BIGINT else 0::BIGINT end << {p})"
+            )
+        return "(" + " + ".join(parts) + ")"
+
+    return f"""
+  with q as (select embedding::DOUBLE[] as qe, {bucket_expr('embedding::DOUBLE[]')} as qb
+             from embeddings where vec_id = 0),
+  bucketed as (
+    select vec_id, embedding::DOUBLE[] as e, {bucket_expr('embedding::DOUBLE[]')} as b
+    from embeddings
+  ),
+  cand as (
+    select vec_id, e from bucketed, q where bit_count(xor(b, qb)) <= {LSH_PROBE}
+  ),
+  scored as (
+    select vec_id,
+           round(list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) as cosine
+    from cand, q
+  )
+  {_sql_rank("scored", "cosine", "vec_id", K)}"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -856,9 +903,7 @@ def oracle_sql() -> dict[str, str]:
     from embeddings, q
   )
   {_sql_rank("scored", "cosine", "vec_id", K)}""",
-        # lsh_cosine_top10 intentionally omitted → rows-only check (plane
-        # construction is hash-derived; validated against exact cosine in
-        # pytest instead)
+        "lsh_cosine_top10": _oracle_lsh_cosine(),
         "events_hourly_agg": """
   select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
          event_type, count(*)::BIGINT as n_events, round(sum(value), 6) as sum_value

@@ -92,6 +92,46 @@ def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket(vec_col)
 
 
+def lsh_index(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Index-time bucketing: adds the sign-LSH `bucket` column. Write with
+    `.write.partitionBy("bucket")` (or declare it a cluster key) so a query
+    probe prunes to the matching bucket directories — at 10^12 vectors a
+    probe of B buckets touches B/2^n_planes of the files, never a full
+    scan. The bucket is computed ONCE here, at index time, not per query."""
+    return emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes))
+
+
+def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:
+    """The query vector's sign-LSH bucket (same planes as lsh_index)."""
+    dim = len(query_vec)
+    b = 0
+    for p in range(n_planes):
+        proj = sum(_plane_sign(p, d) * float(query_vec[d]) for d in range(dim))
+        b |= int(proj >= 0) << p
+    return b
+
+
+def probe_buckets(q_bucket: int, n_planes: int = 8, probe_hamming: int = 2) -> list[int]:
+    """All buckets within `probe_hamming` bit flips of the query bucket —
+    the multi-probe set (C(n_planes, ≤probe_hamming) values, e.g. 37 for
+    8 planes / 2 flips). Tiny: becomes an IN-list partition filter."""
+    from itertools import combinations
+
+    out = []
+    for h in range(probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            b = q_bucket
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return sorted(out)
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -103,13 +143,19 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: restrict to vectors whose LSH bucket is within
     `probe_hamming` bits of the query's bucket, then exact cosine rerank.
-    Recall rises with probe_hamming (== n_planes → exhaustive == exact)."""
-    dim = len(query_vec)
-    q_bucket = 0
-    for p in range(n_planes):
-        proj = sum(_plane_sign(p, d) * float(query_vec[d]) for d in range(dim))
-        q_bucket |= int(proj >= 0) << p
-    bucket = lsh_bucket_col(F.col(vec_col), dim, n_planes)
-    hamming = F.bit_count(bucket.cast("long").bitwiseXOR(F.lit(q_bucket).cast("long")))
-    cand = emb.where(hamming <= probe_hamming)
+    Recall rises with probe_hamming (== n_planes → exhaustive == exact).
+
+    If `emb` already carries a `bucket` column (built by `lsh_index` and
+    ideally a partition key of the stored table), the probe is a plain
+    IN-list filter on that column — partition-prunable, zero per-row work
+    at query time. Without it the bucket is computed on the fly (small
+    corpora / ad-hoc use only; at scale always pre-bucket)."""
+    q_bucket = query_bucket(query_vec, n_planes)
+    if "bucket" in emb.columns:
+        probes = probe_buckets(q_bucket, n_planes, probe_hamming)
+        cand = emb.where(F.col("bucket").isin(probes))
+    else:
+        bucket = lsh_bucket_col(F.col(vec_col), len(query_vec), n_planes)
+        hamming = F.bit_count(bucket.cast("long").bitwiseXOR(F.lit(q_bucket).cast("long")))
+        cand = emb.where(hamming <= probe_hamming)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

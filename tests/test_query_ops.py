@@ -335,3 +335,44 @@ def test_lsh_cosine_recall_and_determinism(spark):
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.5, f"recall@10 {recall}"
     assert approx[0] == 7  # the query vector itself always lands in-bucket
+
+
+def test_lsh_prebucketed_partition_pruning(spark, tmp_path):
+    """Index-time bucketing (lsh_index + partitionBy('bucket')): the probe
+    is an IN-list filter on the partition column — identical results to the
+    on-the-fly path, and the scan's partition filters prune on `bucket`."""
+    import numpy as np
+    from neural_search_spark.ops.similarity import (
+        lsh_cosine_topk,
+        lsh_index,
+        probe_buckets,
+        query_bucket,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    path = str(tmp_path / "emb_bucketed")
+    lsh_index(emb, dim=16, n_planes=8).write.partitionBy("bucket").parquet(path)
+    stored = spark.read.parquet(path)
+
+    q = [float(x) for x in vecs[3]]
+    fly = [(r["vec_id"], r["cosine"]) for r in lsh_cosine_topk(emb, q, k=10).collect()]
+    pre = [(r["vec_id"], r["cosine"]) for r in lsh_cosine_topk(stored, q, k=10).collect()]
+    assert pre == fly
+
+    # the probe reaches the scan as a partition filter on bucket
+    plan = (
+        lsh_cosine_topk(stored, q, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # multi-probe set size: C(8,0)+C(8,1)+C(8,2) = 37 buckets
+    probes = probe_buckets(query_bucket(q, 8), 8, 2)
+    assert len(probes) == 37 and len(set(probes)) == 37
