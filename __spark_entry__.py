@@ -48,6 +48,7 @@ MINHASH_K, MINHASH_BANDS = 8, 4
 SIMHASH_BITS = 32
 SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3
 EMB_DIM, LSH_PLANES, LSH_PROBE = 64, 8, 2
+NEURAL_MIN_SCORE = 0.15
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 
 # ---------------------------------------------------------------------------
@@ -452,6 +453,89 @@ def q_lsh_cosine_top10(spark, sf_dir):
     )
 
 
+def _emb(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _qvec(spark, sf_dir, vec_id: int = 1) -> list[float]:
+    emb = _emb(spark, sf_dir)
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _neural_engine(spark, sf_dir):
+    """QueryEngine over documents + embeddings (doc_id ↔ vec_id aligned)."""
+    from neural_search_spark.query.dsl import QueryEngine
+
+    return QueryEngine(
+        tables=_index(spark, sf_dir),
+        docs=_docs(spark, sf_dir),
+        id_col="doc_id",
+        embeddings=_emb(spark, sf_dir),
+        emb_id_col="vec_id",
+    )
+
+
+def q_neural_top10(spark, sf_dir):
+    """Dense `neural` DSL query, k-mode with an attached filter — the
+    filtered-kNN analog (query/NeuralQueryBuilder.java:86,300-354): the
+    filter restricts candidates DURING the vector search, k defaults 10."""
+    eng = _neural_engine(spark, sf_dir)
+    res = eng.search(
+        {"neural": {"embedding": {
+            "query_vector": _qvec(spark, sf_dir), "k": K,
+            "filter": {"eq": ["lang", "en"]},
+        }}},
+        k=K,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_neural_radial(spark, sf_dir):
+    """Radial neural query: min_score mode returns EVERY doc whose cosine
+    similarity ≥ the threshold, unranked and unbounded
+    (NeuralQueryBuilder.java:300-354 radial search params)."""
+    eng = _neural_engine(spark, sf_dir)
+    scored = eng._score(
+        {"neural": {"embedding": {"query_vector": _qvec(spark, sf_dir), "min_score": NEURAL_MIN_SCORE}}},
+        None,
+    )
+    return scored.select(F.col("docID").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+def q_hybrid_neural_match(spark, sf_dir):
+    """The reference's headline hybrid: lexical (BM25 match) + dense
+    (neural kNN) sub-queries fused with min_max + arithmetic mean
+    (src/test/.../query/HybridQueryIT.java). Sub-scores rounded to 6dp so
+    both engines normalize identical inputs."""
+    from neural_search_spark.ops.similarity import _dot, _norm
+
+    t = _index(spark, sf_dir)
+    qv = _qvec(spark, sf_dir)
+    s_lex = bm25.bm25_score_all(t.postings, t.doclens, t.term_stats, t.meta, Q_HY_A)
+    per0 = s_lex.select(
+        F.lit(0).alias("subquery_idx"), "docID", F.round("score", 6).alias("score")
+    )
+    emb = _emb(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
+    per1 = emb.select(
+        F.lit(1).alias("subquery_idx"),
+        F.col("vec_id").alias("docID"),
+        F.round(cos, 6).alias("score"),
+    )
+    bounded = hybrid.bounded_subquery_union([per0, per1], K)
+    normalized = hybrid.normalize_scores(bounded, "min_max")
+    combined = hybrid.combine_scores(normalized, 2, "arithmetic_mean")
+    return _ranked(combined.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
 def q_events_hourly_agg(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -510,19 +594,23 @@ def _oracle_bm25(tokens: dict[str, float], k: int = K) -> str:
     )
 
 
-def _oracle_hybrid(normalization: str, combination: str) -> str:
-    def norm(cte: str) -> str:
-        if normalization == "min_max":
-            return f"""(
+def _sql_norm(cte: str, normalization: str) -> str:
+    if normalization == "min_max":
+        return f"""(
       select t.doc_id,
              case when st.mx = st.mn and st.mx = t.score then 1.0
                   when (t.score - st.mn) / (st.mx - st.mn) = 0.0 then 0.001
                   else (t.score - st.mn) / (st.mx - st.mn) end as nscore
       from {cte} t, (select min(score) as mn, max(score) as mx from {cte}) st)"""
-        return f"""(
+    return f"""(
       select t.doc_id,
              case when st.l2 = 0 then 0.0 else t.score / st.l2 end as nscore
       from {cte} t, (select sqrt(sum(score * score)) as l2 from {cte}) st)"""
+
+
+def _oracle_hybrid(normalization: str, combination: str) -> str:
+    def norm(cte: str) -> str:
+        return _sql_norm(cte, normalization)
 
     if combination == "arithmetic_mean":
         comb = "(coalesce(na.nscore, 0.0) + coalesce(nb.nscore, 0.0)) / 2"
@@ -645,6 +733,49 @@ def _oracle_lsh_jaccard() -> str:
   select * from j where jaccard >= {JACCARD_THRESHOLD}"""
 
 
+_SQL_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], qe) "
+    "/ (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) "
+    "* sqrt(list_dot_product(qe, qe)))"
+)
+_SQL_QVEC = "(select embedding::DOUBLE[] as qe from embeddings where vec_id = 1)"
+
+
+def _oracle_neural_top10() -> str:
+    return f"""
+  with q as {_SQL_QVEC},
+  scored as (
+    select e.vec_id as doc_id, round({_SQL_COS}, 6) as score
+    from embeddings e join documents d on e.vec_id = d.doc_id, q
+    where d.lang = 'en'
+  )
+  {_sql_rank("scored", "score", "doc_id", K)}"""
+
+
+def _oracle_neural_radial() -> str:
+    return f"""
+  with q as {_SQL_QVEC},
+  raw as (select e.vec_id as doc_id, {_SQL_COS} as c from embeddings e, q)
+  select doc_id, round(c, 6) as score from raw where c >= {NEURAL_MIN_SCORE}"""
+
+
+def _oracle_hybrid_neural() -> str:
+    return f"""with {SQL_INDEX_CTES},
+  {_sql_bm25_scored(Q_HY_A, "sa")},
+  ta as (select doc_id, score from sa order by score desc, doc_id asc limit {K}),
+  q as {_SQL_QVEC},
+  sb as (select e.vec_id as doc_id, round({_SQL_COS}, 6) as score from embeddings e, q),
+  tb as (select doc_id, score from sb order by score desc, doc_id asc limit {K}),
+  na as {_sql_norm("ta", "min_max")},
+  nb as {_sql_norm("tb", "min_max")},
+  combined as (
+    select coalesce(na.doc_id, nb.doc_id) as doc_id,
+           round((coalesce(na.nscore, 0.0) + coalesce(nb.nscore, 0.0)) / 2, 6) as score
+    from na full outer join nb on na.doc_id = nb.doc_id
+  )
+  {_sql_rank("combined", "score", "doc_id", K)}"""
+
+
 def _oracle_lsh_cosine() -> str:
     """DuckDB mirror of the sign-LSH probe + exact cosine rerank. The ±1
     plane coefficients are md5-derived and deterministic, so they are
@@ -703,6 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
         "hybrid_l2_geometric": q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
+        "neural_top10": q_neural_top10,
+        "neural_radial": q_neural_radial,
+        "hybrid_neural_match": q_hybrid_neural_match,
         "rerank_by_field": q_rerank_by_field,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -774,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_minmax_arithmetic": _oracle_hybrid("min_max", "arithmetic_mean"),
         "hybrid_l2_geometric": _oracle_hybrid("l2", "geometric_mean"),
         "hybrid_minmax_harmonic": _oracle_hybrid("min_max", "harmonic_mean"),
+        "neural_top10": _oracle_neural_top10(),
+        "neural_radial": _oracle_neural_radial(),
+        "hybrid_neural_match": _oracle_hybrid_neural(),
         "rerank_by_field": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},
   topk as ({_sql_rank("scored", "score", "doc_id", K)})
   select row_number() over (order by d.n_chars desc, t.doc_id asc)::BIGINT as rank,

@@ -11,6 +11,10 @@ Supported query dicts::
                               "two_phase": {"prune_ratio": 0.4,
                                             "expansion_rate": 5.0,
                                             "max_window_size": 10000}}}}
+    {"neural":       {FIELD: {"query_vector": [f, ...],  # literal vector
+                              "k": 10,                    # OR one radial:
+                              "min_score": s, "max_distance": d,
+                              "filter": pred, "boost": 1.0}}}
     {"hybrid":       {"queries": [q, ...],            # 1..5, no boost
                       "normalization": "min_max" | "l2",
                       "combination": "arithmetic_mean" | "geometric_mean"
@@ -103,11 +107,20 @@ class QueryEngine:
 
     `docs` carries the filterable metadata columns (role, tool, ts, …) and
     the display fields for fetch; `tables` are the inverted-index tables.
+    `embeddings` (id, vector) enables the dense `neural` query kind — the
+    engine analog of the knn_vector field the reference's NeuralQueryBuilder
+    targets (query/NeuralQueryBuilder.java:311-325 rewrite to
+    KNNQueryBuilder). Scores are cosine similarity; `max_distance` is
+    cosine distance 1 − cos (documented divergence: the reference delegates
+    the space type to the k-NN plugin's index mapping).
     """
 
     tables: IndexTables
     docs: DataFrame
     id_col: str = "docID"
+    embeddings: DataFrame | None = None
+    emb_id_col: str = "docID"
+    emb_vec_col: str = "embedding"
 
     # -- internal: score one leaf/bool query → (docID, score) --------------
     def _score(
@@ -189,12 +202,69 @@ class QueryEngine:
                 return win
             return sparse_scores(weights_df, tokens, quantize=True)
 
+        if kind == "neural":
+            return self._score_neural(body, prefilter)
+
         if kind == "hybrid":
             raise QueryValidationError(
                 "hybrid query must be top-level (HybridQueryPhaseSearcher.java:123-148)"
             ) if in_hybrid else QueryValidationError("use search() for hybrid queries")
 
         raise QueryValidationError(f"unknown query kind: {kind}")
+
+    def _score_neural(self, body: dict, prefilter: DataFrame | None) -> DataFrame:
+        """Dense `neural` query → (docID, score). Reference semantics
+        (query/NeuralQueryBuilder.java:86,300-354): k defaults to 10 and is
+        mutually exclusive with the radial params max_distance / min_score;
+        an attached `filter` restricts candidates during the vector search
+        (filtered kNN), not after it. The scan is a JVM-side codegen'd
+        cosine fold over the embeddings table (ops.similarity), bounded by
+        TakeOrderedAndProject in k-mode; at scale swap the embeddings input
+        for an lsh_index-bucketed table and pre-filter with probe_buckets.
+        """
+        from neural_search_spark.ops.similarity import _dot, _norm
+
+        field, spec = _single_field(body, "neural")
+        if self.embeddings is None:
+            raise QueryValidationError(
+                "neural query requires an embeddings table on the engine "
+                "(QueryEngine(embeddings=...))"
+            )
+        qv = spec.get("query_vector")
+        if qv is None:
+            raise QueryValidationError(
+                "neural query requires a literal query_vector (this engine has "
+                "no ML inference; the reference's model rewrite is out of scope)"
+            )
+        boost = float(spec.get("boost", 1.0))
+        modes = [p for p in ("k", "max_distance", "min_score") if p in spec]
+        if len(modes) > 1:
+            raise QueryValidationError(
+                "only one of k, max_distance, min_score is allowed "
+                "(NeuralQueryBuilder.java:300-354)"
+            )
+        emb = self.embeddings.select(
+            F.col(self.emb_id_col).alias("docID"), F.col(self.emb_vec_col).alias("_vec")
+        )
+        if "filter" in spec:
+            fdf = self.docs.where(filter_condition(spec["filter"])).select(
+                F.col(self.id_col).alias("docID")
+            )
+            emb = emb.join(fdf, "docID", "left_semi")
+        if prefilter is not None:
+            emb = emb.join(prefilter, "docID", "left_semi")
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        cos = _dot(F.col("_vec"), q) / (_norm(F.col("_vec")) * _norm(q))
+        scored = emb.select("docID", cos.alias("_cos"))
+        if "min_score" in spec:
+            scored = scored.where(F.col("_cos") >= float(spec["min_score"]))
+        elif "max_distance" in spec:
+            scored = scored.where((F.lit(1.0) - F.col("_cos")) <= float(spec["max_distance"]))
+        out = scored.select("docID", (F.col("_cos") * F.lit(boost)).alias("score"))
+        if not modes or "k" in spec:
+            kk = int(spec.get("k", 10))  # DEFAULT_K (NeuralQueryBuilder.java:86)
+            out = out.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(kk)
+        return out
 
     def search(
         self,

@@ -337,6 +337,102 @@ def test_lsh_cosine_recall_and_determinism(spark):
     assert approx[0] == 7  # the query vector itself always lands in-bucket
 
 
+@pytest.fixture(scope="module")
+def neural_engine(spark, transcripts, index_tables):
+    """Engine with a deterministic embeddings table keyed by docID."""
+    import numpy as np
+
+    from neural_search_spark.query.dsl import QueryEngine
+
+    n = transcripts.count()
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(n, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "docID long, embedding array<float>",
+    ).persist()
+    return QueryEngine(tables=index_tables, docs=transcripts, embeddings=emb), vecs
+
+
+def test_dsl_neural_k_mode(spark, neural_engine):
+    import numpy as np
+
+    eng, vecs = neural_engine
+    q = [float(x) for x in vecs[3]]
+    got = eng.search({"neural": {"embedding": {"query_vector": q, "k": 10}}}, k=10).collect()
+    # numpy oracle: cosine desc, docID asc
+    v = vecs.astype(np.float64)
+    qv = np.asarray(q)
+    cos = (v @ qv) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+    exp = sorted(range(len(v)), key=lambda i: (-cos[i], i))[:10]
+    assert [r["docID"] for r in got] == exp
+    assert got[0]["docID"] == 3 and got[0]["score"] == pytest.approx(1.0)
+    for r in got:
+        assert r["score"] == pytest.approx(cos[r["docID"]], rel=1e-9)
+
+
+def test_dsl_neural_radial_and_filter(spark, transcripts, neural_engine):
+    import numpy as np
+
+    eng, vecs = neural_engine
+    q = [float(x) for x in vecs[3]]
+    v = vecs.astype(np.float64)
+    qv = np.asarray(q)
+    cos = (v @ qv) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+
+    # min_score radial: every doc above the threshold, no limit
+    got = eng._score({"neural": {"embedding": {"query_vector": q, "min_score": 0.3}}}, None)
+    assert {r["docID"] for r in got.collect()} == {int(i) for i in np.flatnonzero(cos >= 0.3)}
+
+    # max_distance radial (cosine distance 1 − cos)
+    got2 = eng._score({"neural": {"embedding": {"query_vector": q, "max_distance": 0.7}}}, None)
+    assert {r["docID"] for r in got2.collect()} == {int(i) for i in np.flatnonzero(1 - cos <= 0.7)}
+
+    # filtered kNN: filter applies during search, k passing hits
+    roles = {r["docID"]: r["role"] for r in transcripts.select("docID", "role").collect()}
+    got3 = eng.search(
+        {"neural": {"embedding": {"query_vector": q, "k": 5, "filter": {"eq": ["role", "user"]}}}},
+        k=5,
+    ).collect()
+    passing = sorted(
+        (i for i in range(len(v)) if roles[i] == "user"), key=lambda i: (-cos[i], i)
+    )[:5]
+    assert [r["docID"] for r in got3] == passing
+
+
+def test_dsl_neural_in_hybrid(spark, neural_engine):
+    """The reference's headline combo: lexical + neural sub-queries fused
+    by the hybrid pipeline (HybridQueryIT.java)."""
+    eng, vecs = neural_engine
+    q = [float(x) for x in vecs[3]]
+    res = eng.search(
+        {"hybrid": {"queries": [
+            {"match": {"text": "the data"}},
+            {"neural": {"embedding": {"query_vector": q, "k": 10}}},
+        ], "normalization": "min_max", "combination": "arithmetic_mean"}},
+        k=10,
+    ).collect()
+    assert len(res) == 10
+    # doc 3 (cos=1 → minmax 1.0) must be present in the fused top-10
+    assert 3 in {r["docID"] for r in res}
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsl_neural_validation(spark, transcripts, index_tables, neural_engine):
+    from neural_search_spark.query.dsl import QueryEngine
+
+    eng, vecs = neural_engine
+    q = [float(x) for x in vecs[0]]
+    with pytest.raises(QueryValidationError, match="only one of"):
+        eng.search({"neural": {"embedding": {"query_vector": q, "k": 5, "min_score": 0.3}}})
+    with pytest.raises(QueryValidationError, match="query_vector"):
+        eng.search({"neural": {"embedding": {"k": 5}}})
+    bare = QueryEngine(tables=index_tables, docs=transcripts)
+    with pytest.raises(QueryValidationError, match="embeddings"):
+        bare.search({"neural": {"embedding": {"query_vector": q}}})
+
+
 def test_lsh_prebucketed_partition_pruning(spark, tmp_path):
     """Index-time bucketing (lsh_index + partitionBy('bucket')): the probe
     is an IN-list filter on the partition column — identical results to the
