@@ -26,18 +26,20 @@ def _with_doc_ids(ranged: DataFrame, order_cols: list[str], id_col: str) -> Data
     for pid in sorted(counts):
         bases[pid] = acc
         acc += counts[pid]
-    base_expr = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(p) for p in sorted(counts)]),
-            F.array(*[F.lit(bases[p]) for p in sorted(counts)]),
-        ),
-        F.col("_pid"),
+    # the (pid → base) map is a tiny broadcast-joined DataFrame, NOT a
+    # literal map expression: at the 10^5 partitions this module targets a
+    # map_from_arrays literal would be a ~200k-term codegen expression
+    # (janino 64KB-method risk); a broadcast hash join stays O(1) in
+    # generated code regardless of partition count
+    base_df = ranged.sparkSession.createDataFrame(
+        [(int(p), int(bases[p])) for p in sorted(counts)], "_pid int, _base long"
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         ranged.withColumn("_local", F.row_number().over(w))
-        .withColumn(id_col, (F.col("_local") - 1 + base_expr).cast("long"))
-        .drop("_pid", "_local")
+        .join(F.broadcast(base_df), "_pid")
+        .withColumn(id_col, (F.col("_local") - 1 + F.col("_base")).cast("long"))
+        .drop("_pid", "_local", "_base")
     )
 
 

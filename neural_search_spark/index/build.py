@@ -48,18 +48,36 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def build_postings(df: DataFrame, text_col: str = "text", id_col: str = "docID") -> DataFrame:
-    """(term, docID, tf). (term, docID) unique by construction.
+def build_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "docID", one_row_per_doc: bool = True
+) -> DataFrame:
+    """(term, docID, tf). (term, docID) unique in the output — downstream
+    segment encoding depends on it.
 
-    tf is a PER-DOCUMENT quantity — every row of a document lives in one
-    Arrow batch — so it is counted batch-locally (pandas khash groupby, C
-    level) instead of explode → groupBy(term, docID): that formulation
-    shuffles every token occurrence (10^13 rows at corpus scale) through a
-    hash aggregation whose key cardinality ≈ total postings, measured as the
-    single most memory-bound stage of the build. This stage is completely
-    shuffle-free and ~1.4× faster than the JVM hash-agg even at small scale.
-    (A pure-Column alternative with higher-order functions was measured
-    slower: Spark HOF lambdas are interpreted per element.)"""
+    PRECONDITION (default fast path): each docID occupies exactly ONE input
+    row. The batch-local counter below relies on it; feeding multiple rows
+    per docID (e.g. chunked or unioned documents) would silently emit
+    duplicate (term, docID) rows with split tfs. Callers with multi-row
+    docIDs must pass `one_row_per_doc=False`, which falls back to the
+    global explode → groupBy(term, docID) aggregation (one extra shuffle,
+    but correct for any row multiplicity).
+
+    Fast path: tf is a PER-DOCUMENT quantity — every row of a document
+    lives in one Arrow batch — so it is counted batch-locally (pandas khash
+    groupby, C level) instead of explode → groupBy(term, docID): that
+    formulation shuffles every token occurrence (10^13 rows at corpus
+    scale) through a hash aggregation whose key cardinality ≈ total
+    postings, measured as the single most memory-bound stage of the build.
+    This stage is completely shuffle-free and ~1.4× faster than the JVM
+    hash-agg even at small scale. (A pure-Column alternative with
+    higher-order functions was measured slower: Spark HOF lambdas are
+    interpreted per element.)"""
+    if not one_row_per_doc:
+        toks = df.select(
+            F.col(id_col).cast("long").alias("docID"),
+            F.explode(tokenize_col(text_col)).alias("term"),
+        )
+        return toks.groupBy("term", "docID").agg(F.count("*").cast("int").alias("tf"))
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

@@ -227,26 +227,120 @@ def write_segments(segments: DataFrame, path: str) -> None:
     )
 
 
-def merge_segments(spark, paths: list[str], out_path: str) -> None:
-    """Hierarchical merge of segment runs covering *disjoint docID ranges*
-    (the incremental-ingest case: each run indexes a new docID range).
-    Because ranges are disjoint and blocks carry absolute first/last docIDs,
-    merging = union + per-term re-numbering of (salt, blockID) in docID
-    order — no decode/re-encode. Overlapping runs must be rebuilt instead
-    (asserted)."""
-    dfs = [spark.read.parquet(p) for p in paths]
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("docID", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_segments(segments: DataFrame) -> DataFrame:
+    """Segment blocks → relational postings (term, docID, tf, dl). One
+    vectorized varint sweep per Arrow batch (codec.decode_blocks_batch) —
+    the inverse of the build encoder, used by the rebuild merge path."""
+    import pandas as pd
+
+    from neural_search_spark.index.codec import decode_blocks_batch
+
+    def run(batches):
+        for batch in batches:
+            if batch.empty:
+                continue
+            ns = batch["n"].to_numpy(np.int64)
+            block_idx, docids, tfs, dls = decode_blocks_batch(
+                list(batch["docids"]), list(batch["tfs"]), list(batch["dls"]), ns
+            )
+            yield pd.DataFrame(
+                {
+                    "term": batch["term"].to_numpy()[block_idx],
+                    "docID": docids.astype(np.int64),
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int32),
+                }
+            )
+
+    return segments.mapInPandas(run, schema=POSTINGS_SCHEMA)
+
+
+def merge_segments(
+    spark,
+    paths: list[str],
+    out_path: str,
+    mode: str = "append",
+    block_size: int = BLOCK_SIZE,
+    postings_per_salt: int = POSTINGS_PER_SALT,
+    avgdl: float | None = None,
+) -> None:
+    """Hierarchical merge of segment runs.
+
+    mode='append' — runs cover *disjoint global docID ranges* (the
+    incremental-ingest case: each run indexes a new docID range, built with
+    shared global stats). Fully distributed, shuffle-light, and skew-free:
+    no per-term window anywhere. Disjointness is checked on the per-run
+    global [min first_docID, max last_docID] envelope (len(paths) driver
+    values — if the envelopes are disjoint, every term's ranges are).
+    Salts are PRESERVED: each run's salt ids are offset by the cumulative
+    max-salt of earlier runs (ordered by docID range) so (term, salt)
+    groups never collide across runs; blockIDs within a group are
+    untouched. Query correctness needs no global block numbering — blocks
+    carry absolute [first_docID, last_docID] zones.
+
+    mode='rebuild' — for overlapping runs (e.g. a head term split across
+    separately-built runs over interleaved docID ranges): decode every run
+    back to postings (vectorized), re-derive doclens/avgdl/max docID from
+    the union, and re-run the salted segment build — head terms whose
+    merged df exceeds `postings_per_salt` get re-split. Runs must not
+    duplicate a (term, docID) posting.
+    """
+    dfs = [spark.read.parquet(p).drop("shard") for p in paths]
     allseg = dfs[0]
     for d in dfs[1:]:
         allseg = allseg.unionByName(d)
-    from pyspark.sql import Window
 
-    # verify disjointness per term: max overlap check (cheap aggregate)
-    w = Window.partitionBy("term").orderBy("first_docID")
-    ordered = allseg.withColumn("_prev_last", F.lag("last_docID").over(w))
-    bad = ordered.filter((F.col("_prev_last").isNotNull()) & (F.col("first_docID") <= F.col("_prev_last")))
-    if bad.limit(1).count() > 0:
-        raise ValueError("merge_segments: overlapping docID ranges — rebuild required")
-    renum = ordered.withColumn("blockID", (F.row_number().over(w) - 1).cast("int")).withColumn(
-        "salt", F.lit(0)
-    ).drop("_prev_last")
-    write_segments(renum.drop("shard"), out_path)
+    if mode == "rebuild":
+        postings = decode_segments(allseg)
+        doclens = postings.select("docID", "dl").distinct()
+        m = doclens.agg(
+            F.avg("dl").alias("avgdl"), F.max("docID").alias("max_id")
+        ).first()
+        segs = build_segments(
+            postings,
+            avgdl=float(avgdl if avgdl is not None else m["avgdl"]),
+            max_doc_id=int(m["max_id"]),
+            postings_per_salt=postings_per_salt,
+            block_size=block_size,
+        )
+        write_segments(segs, out_path)
+        return
+    if mode != "append":
+        raise ValueError(f"unknown merge mode: {mode}")
+
+    stats = [
+        d.agg(
+            F.min("first_docID").alias("lo"),
+            F.max("last_docID").alias("hi"),
+            F.max("salt").alias("max_salt"),
+        ).first()
+        for d in dfs
+    ]
+    order = sorted(range(len(dfs)), key=lambda i: stats[i]["lo"])
+    prev_hi = None
+    for i in order:
+        if prev_hi is not None and stats[i]["lo"] <= prev_hi:
+            raise ValueError(
+                "merge_segments: overlapping docID ranges — use mode='rebuild'"
+            )
+        prev_hi = stats[i]["hi"]
+
+    offset = 0
+    remapped = []
+    for i in order:
+        remapped.append(dfs[i].withColumn("salt", (F.col("salt") + F.lit(offset)).cast("int")))
+        offset += int(stats[i]["max_salt"]) + 1
+    merged = remapped[0]
+    for d in remapped[1:]:
+        merged = merged.unionByName(d)
+    write_segments(merged, out_path)

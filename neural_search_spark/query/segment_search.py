@@ -17,9 +17,13 @@ Algorithm (provably exact top-k):
     (if all its blocks failed the test, every per-term bound chain gives
     score(d) ≤ θ) → every true top-k doc appears in a surviving block.
  4. Rescue: docs seen in surviving blocks may still miss contributions from
-    pruned blocks of OTHER terms → decode exactly those pruned blocks whose
-    [first_docID, last_docID] zone intersects a candidate docID
-    (broadcast range-join against the small candidate set).
+    pruned blocks of OTHER terms. The rescue set is BOUNDED first: a doc
+    occupies exactly one block per term, so its surviving partial score plus
+    Σ maxub over terms NOT seen among its surviving blocks upper-bounds its
+    true score; docs below θ on that bound are dropped before the broadcast
+    (they provably cannot enter the top-k). Only then are pruned blocks
+    whose [first_docID, last_docID] zone intersects a remaining candidate
+    decoded (broadcast range-join against the now-k-scale candidate set).
  5. Exact score = Σ decoded contributions per candidate; top-k, ties by
     docID asc (ScoreCombiner.java:37-50 semantics).
 
@@ -51,10 +55,22 @@ _DECODED_SCHEMA = T.StructType(
     ]
 )
 
+_DECODED_TERM_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("docID", T.LongType(), False),
+        T.StructField("part", T.DoubleType(), False),
+    ]
+)
 
-def _decode_and_score(blocks: DataFrame, avgdl: float, k1: float, b: float) -> DataFrame:
+
+def _decode_and_score(
+    blocks: DataFrame, avgdl: float, k1: float, b: float, keep_term: bool = False
+) -> DataFrame:
     """blocks: (term, w_idf, n, docids, tfs, dls) → (docID, part) partial
-    scores, decoded+scored in one vectorized pass per Arrow batch."""
+    scores, decoded+scored in one vectorized pass per Arrow batch.
+    `keep_term=True` also emits the contributing term (needed to bound the
+    rescue set per doc)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -68,9 +84,12 @@ def _decode_and_score(blocks: DataFrame, avgdl: float, k1: float, b: float) -> D
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
             part = w_idf * (tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-            yield pd.DataFrame({"docID": docids.astype(np.int64), "part": part})
+            out = {"docID": docids.astype(np.int64), "part": part}
+            if keep_term:
+                out = {"term": batch["term"].to_numpy()[block_idx], **out}
+            yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(run, schema=_DECODED_SCHEMA)
+    return blocks.mapInPandas(run, schema=_DECODED_TERM_SCHEMA if keep_term else _DECODED_SCHEMA)
 
 
 def wand_topk(
@@ -152,10 +171,29 @@ def wand_topk(
         pruned = qblocks.join(thresh_df, "term").where(F.col("ub") < F.col("thr"))
 
         surv_scored = _decode_and_score(
-            surviving.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b
+            surviving.select("term", "w_idf", "n", "docids", "tfs", "dls"),
+            avgdl, k1, b, keep_term=True,
         ).persist()
         try:
-            candidates = surv_scored.select("docID").distinct()
+            # Bound the rescue set to the provably-still-competitive docs:
+            # a doc appears in exactly one block per term, so terms seen in
+            # its surviving blocks can contribute nothing more; the missed
+            # contribution is ≤ Σ maxub over UNSEEN terms. Docs with
+            # partial + missed_ub < θ cannot reach the top-k (θ lower-bounds
+            # the true k-th score) and are dropped BEFORE the broadcast —
+            # the candidate set is now O(k·surviving-block-density), not
+            # "every docID in any surviving block".
+            maxub_df = F.broadcast(
+                spark.createDataFrame(sorted(maxub.items()), "term string, mx double")
+            )
+            per_doc = (
+                surv_scored.join(maxub_df, "term")
+                .groupBy("docID")
+                .agg(F.sum("part").alias("_partial"), F.sum("mx").alias("_seen_ub"))
+            )
+            candidates = per_doc.where(
+                F.col("_partial") + (F.lit(m_total) - F.col("_seen_ub")) >= F.lit(theta)
+            ).select("docID")
             # rescue: pruned blocks overlapping any candidate (zone-map
             # range join against the small broadcast candidate set)
             rescue_blocks = (
@@ -170,7 +208,8 @@ def wand_topk(
             ).join(F.broadcast(candidates), "docID", "left_semi")
 
             total = (
-                surv_scored.unionByName(rescue_scored)
+                surv_scored.select("docID", "part")
+                .unionByName(rescue_scored)
                 .groupBy("docID")
                 .agg(F.sum("part").alias("score"))
             )
@@ -183,6 +222,7 @@ def wand_topk(
                         "blocks_total": qblocks.count(),
                         "blocks_surviving": surviving.count(),
                         "blocks_rescued": rescue_blocks.count(),
+                        "rescue_candidates": candidates.count(),
                     }
                 )
             return spark.createDataFrame(rows, "rank int, docID long, score double")

@@ -135,18 +135,81 @@ def test_merge_segments_disjoint_ranges(spark, tmp_path):
     merge_segments(spark, paths, merged_path)
     merged = spark.read.parquet(merged_path)
 
-    # blockIDs renumbered contiguously per term, ranges still disjoint
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("term").orderBy("blockID")
-    chk = merged.withColumn("_rn", F.row_number().over(w) - 1)
-    assert chk.where(F.col("_rn") != F.col("blockID")).count() == 0
+    # salt groups from different runs never collide: (term, salt, blockID)
+    # stays unique, and within each (term, salt) blockIDs are ordered by
+    # docID (append mode never renumbers, never windows by term)
+    assert (
+        merged.groupBy("term", "salt", "blockID").count().where(F.col("count") > 1).count() == 0
+    )
 
     docs = {r["docID"]: r["text"] for r in tr.select("docID", "text").collect()}
     exp = oracle.topk(oracle.bm25_scores(docs, ["the", "data", "spark"]), 10)
     got = wand_topk(merged, full.term_stats, n_docs, avgdl, ["the", "data", "spark"], k=10).collect()
     assert [r["docID"] for r in got] == [d for d, _ in exp]
 
-    # overlapping runs must be rejected
+    # overlapping runs must be rejected in append mode
     with pytest.raises(ValueError, match="overlapping"):
         merge_segments(spark, [paths[0], paths[0]], str(tmp_path / "bad"))
+
+
+def test_merge_rebuild_overlapping_head_term(spark, tmp_path):
+    """Rebuild merge: a head term spans two runs over INTERLEAVED docID
+    ranges with more total postings than postings_per_salt — append mode
+    must refuse; rebuild mode decodes, re-salts the head term, and answers
+    queries identically to a from-scratch index."""
+    from neural_search_spark.data import assign_doc_ids, synthesize_transcripts
+    from neural_search_spark.index.build import build_index_tables
+    from neural_search_spark.index.segments import (
+        build_segments,
+        decode_segments,
+        merge_segments,
+        write_segments,
+    )
+    from neural_search_spark.query.segment_search import wand_topk
+
+    tr = assign_doc_ids(synthesize_transcripts(spark, 30, 10, seed=13))
+    full = build_index_tables(tr)
+    m = full.meta.first()
+    avgdl, n_docs = float(m["avgdl"]), int(m["N"])
+    pdl = full.postings.join(full.doclens, "docID")
+
+    # interleave docIDs (even/odd) so per-term ranges overlap across runs
+    paths = []
+    for i, cond in enumerate([F.col("docID") % 2 == 0, F.col("docID") % 2 == 1]):
+        segs = build_segments(
+            pdl.where(cond), avgdl=avgdl, max_doc_id=n_docs - 1, block_size=16,
+            term_stats=full.term_stats,
+        )
+        p = str(tmp_path / f"run{i}")
+        write_segments(segs, p)
+        paths.append(p)
+
+    with pytest.raises(ValueError, match="overlapping"):
+        merge_segments(spark, paths, str(tmp_path / "bad"))
+
+    merged_path = str(tmp_path / "rebuilt")
+    # tiny postings_per_salt forces head-term re-salting in the rebuild
+    merge_segments(
+        spark, paths, merged_path, mode="rebuild",
+        block_size=16, postings_per_salt=64, avgdl=avgdl,
+    )
+    merged = spark.read.parquet(merged_path)
+
+    # the head term ('the' appears in nearly every doc) got salted
+    head_salts = (
+        merged.groupBy("term").agg(F.countDistinct("salt").alias("s"))
+        .where(F.col("s") > 1).count()
+    )
+    assert head_salts > 0, "expected at least one re-salted head term"
+
+    # round-trip identity: decoded postings equal the originals
+    dec = decode_segments(merged).select("term", "docID", "tf")
+    assert dec.exceptAll(full.postings.select("term", "docID", "tf")).count() == 0
+    assert full.postings.select("term", "docID", "tf").exceptAll(dec).count() == 0
+
+    docs = {r["docID"]: r["text"] for r in tr.select("docID", "text").collect()}
+    exp = oracle.topk(oracle.bm25_scores(docs, ["the", "data", "spark"]), 10)
+    got = wand_topk(merged, full.term_stats, n_docs, avgdl, ["the", "data", "spark"], k=10).collect()
+    assert [r["docID"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
