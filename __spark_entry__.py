@@ -536,6 +536,59 @@ def q_hybrid_neural_match(spark, sf_dir):
     return _ranked(combined.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
+Q_MATCH_TEXT = "spark join window"  # analyzes to the Q_BM25 term set
+
+
+def q_total_hits_relation(spark, sf_dir):
+    """Total-hit counting with threshold relation (HitsThresholdChecker
+    .java:17-40): exact (n, eq) below the threshold, (threshold, gte) once
+    crossed — deterministic analog of Lucene's early-terminated count."""
+    eng = _neural_engine(spark, sf_dir)
+    q = {"match": {"text": {"query": Q_MATCH_TEXT}}}
+    lo_v, lo_r = eng.count_hits(q, track_total_hits=50)
+    hi_v, hi_r = eng.count_hits(q, track_total_hits=100_000)
+    return spark.createDataFrame(
+        [("low", lo_v, lo_r), ("high", hi_v, hi_r)],
+        "thresh_case string, value long, relation string",
+    )
+
+
+def q_query_with_aggs(spark, sf_dir):
+    """Aggregations alongside a search query (HybridAggregationProcessor
+    .java:31-65): a terms agg computed over the query's FULL match set,
+    not the top-k hit list."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"by_lang": {"terms": {"field": "lang"}}},
+        k=K,
+    )
+    return aggs["by_lang"]
+
+
+def q_nested_roundtrip_tokens(spark, sf_dir):
+    """Nested-document processing (ProcessorDocumentUtils.java nested
+    map/list walking; InferenceProcessor.java:317-347 buildNestedMap):
+    flat docs → ArrayType(StructType) children per source → dotted-path
+    projection + explode back → per-child token counts. Proves the nested
+    round-trip preserves every child and `a.b` access works."""
+    from neural_search_spark.ops import nested
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "text")
+    convs = nested.group_conversations(
+        docs, conv_col="source", order_col="doc_id", turns_col="children"
+    )
+    # dotted-path projection over the nested array-of-structs column
+    first_child = nested.get_path(convs, "children")[0]["doc_id"]
+    convs = convs.withColumn("first_doc_id", first_child)
+    flat = nested.explode_conversations(convs.drop("first_doc_id"), conv_col="source", turns_col="children")
+    return flat.select(
+        "source",
+        "doc_id",
+        F.size(tokenize_col("text")).cast("long").alias("n_tokens"),
+    )
+
+
 def q_events_hourly_agg(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -854,6 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed_whitespace_limited": q_chunk_fixed_whitespace_limited,
         "cosine_top10": q_cosine_top10,
         "lsh_cosine_top10": q_lsh_cosine_top10,
+        "total_hits_relation": q_total_hits_relation,
+        "query_with_aggs": q_query_with_aggs,
+        "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
         "lineitem_agg": q_lineitem_agg,
@@ -1041,6 +1097,31 @@ def oracle_sql() -> dict[str, str]:
   )
   {_sql_rank("scored", "cosine", "vec_id", K)}""",
         "lsh_cosine_top10": _oracle_lsh_cosine(),
+        "total_hits_relation": f"""
+  with {SQL_INDEX_CTES},
+  n as (
+    select count(distinct doc_id)::BIGINT as n from postings
+    where term in ('spark', 'join', 'window')
+  )
+  select 'low' as thresh_case,
+         case when n > 50 then 50 else n end::BIGINT as value,
+         case when n > 50 then 'gte' else 'eq' end as relation from n
+  union all
+  select 'high',
+         case when n > 100000 then 100000 else n end::BIGINT,
+         case when n > 100000 then 'gte' else 'eq' end from n""",
+        "query_with_aggs": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  )
+  select d.lang as key, count(*)::BIGINT as doc_count
+  from documents d join matching m on d.doc_id = m.doc_id
+  group by 1""",
+        "nested_roundtrip_tokens": """
+  select source, doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT as n_tokens
+  from documents""",
         "events_hourly_agg": """
   select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
          event_type, count(*)::BIGINT as n_events, round(sum(value), 6) as sum_value

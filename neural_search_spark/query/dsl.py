@@ -364,6 +364,86 @@ class QueryEngine:
             result = topk(scored, k)
         return result
 
+    def search_json(self, query_json: str, **kwargs) -> DataFrame:
+        """JSON-string query surface — the fromXContent analog
+        (query/HybridQueryBuilder.java:149-223 etc.): parse, validate, and
+        execute. `kwargs` pass through to search()."""
+        import json
+
+        try:
+            query = json.loads(query_json)
+        except json.JSONDecodeError as e:
+            raise QueryValidationError(f"malformed query JSON: {e}") from e
+        if not isinstance(query, dict):
+            raise QueryValidationError("query JSON must be an object")
+        return self.search(query, **kwargs)
+
+    def count_hits(self, query: dict, track_total_hits: int = 10_000) -> tuple[int, str]:
+        """Total-hit counting with a threshold relation — the deterministic
+        analog of the reference's early-terminated counting
+        (search/HitsThresholdChecker.java:17-40,
+        HybridTopScoreDocCollector.java:109-125): exact (n, 'eq') while n ≤
+        track_total_hits, else (track_total_hits, 'gte'). The scan is
+        bounded by limit(threshold+1) — Catalyst pushes the limit, so the
+        count never materializes more than threshold+1 rows per partition.
+        """
+        if track_total_hits < 0:
+            raise QueryValidationError("track_total_hits must be >= 0")
+        scored = self._score(query, None)
+        n = scored.limit(track_total_hits + 1).count()
+        if n > track_total_hits:
+            return track_total_hits, "gte"
+        return n, "eq"
+
+    def search_with_aggs(
+        self,
+        query: dict,
+        aggs: dict,
+        k: int = 10,
+        post_filter: dict | None = None,
+    ) -> tuple[DataFrame, dict[str, DataFrame]]:
+        """Search + aggregations in one request — the
+        HybridAggregationProcessor composition (search/query/
+        HybridAggregationProcessor.java:31-65): aggregations run over the
+        query's FULL match set, NOT the top-k, and post_filter does not
+        affect them (it only filters the hit list) — matching OpenSearch's
+        post_filter/agg contract.
+
+        `aggs` spec (a small subset of the reference surface)::
+
+            {"by_lang": {"terms": {"field": "lang"}},
+             "mean_len": {"avg": {"field": "n_chars"}},
+             "total":    {"sum"|"min"|"max"|"count": {"field": c}}}
+
+        Returns (hits, {agg_name: DataFrame}). Each agg is a native
+        Catalyst hash-agg over matching docs (partial + final).
+        """
+        scored = self._score(query, None)
+        match_docs = self.docs.join(
+            scored.select(F.col("docID").alias("_match_id")),
+            self.docs[self.id_col] == F.col("_match_id"),
+            "left_semi",
+        )
+        out: dict[str, DataFrame] = {}
+        for name, spec in aggs.items():
+            (akind,) = spec.keys()
+            body = spec[akind]
+            field = body["field"]
+            if akind == "terms":
+                out[name] = (
+                    match_docs.groupBy(F.col(field).alias("key"))
+                    .agg(F.count("*").cast("long").alias("doc_count"))
+                )
+            elif akind in ("avg", "sum", "min", "max"):
+                fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[akind]
+                out[name] = match_docs.agg(fn(field).alias("value"))
+            elif akind == "count":
+                out[name] = match_docs.agg(F.count(field).cast("long").alias("value"))
+            else:
+                raise QueryValidationError(f"unknown aggregation kind: {akind}")
+        hits = self.search(query, k=k, post_filter=post_filter)
+        return hits, out
+
     def fetch(self, result: DataFrame) -> DataFrame:
         return self.docs.join(
             F.broadcast(result), self.docs[self.id_col] == result.docID

@@ -28,3 +28,10 @@ def index_tables(transcripts):
     t.doclens = t.doclens.persist()
     t.term_stats = t.term_stats.persist()
     return t
+
+
+@pytest.fixture(scope="session")
+def engine(transcripts, index_tables):
+    from neural_search_spark.query.dsl import QueryEngine
+
+    return QueryEngine(tables=index_tables, docs=transcripts)

@@ -143,11 +143,6 @@ def test_two_phase_topk_equals_full_topk(spark, index_tables):
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def engine(transcripts, index_tables):
-    return QueryEngine(tables=index_tables, docs=transcripts)
-
-
 def _oracle_docs(transcripts):
     return {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
 
