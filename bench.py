@@ -48,12 +48,16 @@ def main() -> None:
     seg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp", "segments")
     shutil.rmtree(os.path.dirname(seg_path), ignore_errors=True)
     t0 = time.time()
+    # keys-first docID assignment: only (conv_id, turn_idx) flow through the
+    # range shuffle/window; the eager mapping checkpoint happens here
     tr = assign_doc_ids(synthesize_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10))
     t_docids = time.time()
-    tables = build_index_tables(tr)
+    # the corpus is tokenized exactly once (postings build); doclens derive
+    # from the persisted postings as Σ tf
+    tables = build_index_tables(tr, doclens_source="postings")
     tables.postings = tables.postings.persist()
-    tables.doclens = tables.doclens.persist()
     n_postings = tables.postings.count()
+    tables.doclens = tables.doclens.persist()
     tables.doclens.count()
     t_postings = time.time()
     meta = tables.meta.first()

@@ -55,14 +55,48 @@ def _ranged(df: DataFrame, order_cols: list[str], num_partitions: int) -> DataFr
     )
 
 
+def _key_mapping(
+    df: DataFrame, order_cols: list[str], num_partitions: int, id_col: str
+) -> DataFrame:
+    """Keys-first docID mapping: (order_cols..., docID), eagerly
+    checkpointed. Only the ordering-key COLUMNS flow through the range
+    shuffle, the persist, and the window sort — column pruning keeps the
+    wide text out of all three (for a parquet source the sampling scan
+    reads just the key columns; for the generated source the text
+    expression is never evaluated). The full rows are touched exactly once,
+    by the caller's mapping join."""
+    keys = df.select(*[F.col(c) for c in order_cols])
+    ranged = _ranged(keys, order_cols, num_partitions)
+    try:
+        return _with_doc_ids(ranged, order_cols, id_col).localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str] | None = None,
     num_partitions: int | None = None,
     id_col: str = "docID",
+    method: str = "keys",
 ) -> DataFrame:
+    """Stable global docIDs under (order_cols) ordering.
+
+    method='keys' (default): two-pass prefix-sum over the ordering KEYS
+    only, then one hash-join of the tiny (keys, docID) mapping back to the
+    full rows — the wide text crosses the wire once. Requires the ordering
+    key to uniquely identify rows (the transcripts contract: one turn per
+    (conv_id, turn_idx); duplicated keys would share a docID and fan out
+    the join).
+
+    method='range': the original full-row variant (range-shuffle + persist
+    + window over complete rows) — no key-uniqueness requirement.
+    """
     order_cols = order_cols or ["conv_id", "turn_idx"]
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if method == "keys":
+        mapping = _key_mapping(df, order_cols, num_partitions, id_col)
+        return df.join(mapping, order_cols)
     ranged = _ranged(df, order_cols, num_partitions)
     try:
         # materialize while `ranged` is still cached; callers get a plain DF
@@ -78,13 +112,18 @@ def assign_doc_ids_to_parquet(
     order_cols: list[str] | None = None,
     num_partitions: int | None = None,
     id_col: str = "docID",
+    method: str = "keys",
 ) -> None:
     """Pipeline variant: stream the docID-stamped rows straight to parquet
-    (the stage checkpoint) instead of a memory localCheckpoint — one less
-    full materialization into the block store, and the write IS the
-    consistency barrier the two-pass scheme needs."""
+    (the stage checkpoint) — the write IS the consistency barrier the
+    two-pass scheme needs. With method='keys' the only full-row pass is
+    the mapping join feeding the writer."""
     order_cols = order_cols or ["conv_id", "turn_idx"]
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if method == "keys":
+        mapping = _key_mapping(df, order_cols, num_partitions, id_col)
+        df.join(mapping, order_cols).write.mode("overwrite").parquet(out_path)
+        return
     ranged = _ranged(df, order_cols, num_partitions)
     try:
         _with_doc_ids(ranged, order_cols, id_col).write.mode("overwrite").parquet(out_path)

@@ -125,6 +125,27 @@ def build_doclens(df: DataFrame, text_col: str = "text", id_col: str = "docID") 
     )
 
 
+def build_doclens_from_postings(
+    postings: DataFrame, docs: DataFrame | None = None, id_col: str = "docID"
+) -> DataFrame:
+    """(docID, dl) derived as Σ tf over the postings — identical to
+    build_doclens but avoids re-tokenizing the corpus when the postings are
+    already materialized (the pipeline case: postings persist/parquet is
+    the barrier, everything downstream derives from it). Because a doc's
+    postings are emitted batch-locally, the map-side partial aggregate
+    collapses each partition to one row per doc before the exchange — the
+    shuffle carries ~N rows however many postings there are. Docs with zero
+    tokens have no postings rows; pass `docs` to complete them with dl=0.
+    """
+    dl = postings.groupBy("docID").agg(F.sum("tf").cast("int").alias("dl"))
+    if docs is not None:
+        ids = docs.select(F.col(id_col).cast("long").alias("docID"))
+        dl = ids.join(dl, "docID", "left").select(
+            "docID", F.coalesce(F.col("dl"), F.lit(0)).alias("dl")
+        )
+    return dl
+
+
 def build_term_stats(postings: DataFrame) -> DataFrame:
     """(term, df) — exact document frequency (north rule forbids approx:
     rank-identity requires exact idf)."""
@@ -139,9 +160,22 @@ def collection_meta(doclens: DataFrame) -> DataFrame:
     )
 
 
-def build_index_tables(df: DataFrame, text_col: str = "text", id_col: str = "docID") -> IndexTables:
+def build_index_tables(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "docID",
+    doclens_source: str = "docs",
+) -> IndexTables:
+    """doclens_source='docs' tokenizes the corpus a second time for the
+    doclens (correct for any caller); 'postings' derives dl = Σ tf from the
+    postings + a pruned id scan — choose it when the postings are persisted
+    or checkpointed, so the corpus is read (and tokenized) exactly once in
+    the whole build."""
     postings = build_postings(df, text_col, id_col)
-    doclens = build_doclens(df, text_col, id_col)
+    if doclens_source == "postings":
+        doclens = build_doclens_from_postings(postings, docs=df, id_col=id_col)
+    else:
+        doclens = build_doclens(df, text_col, id_col)
     return IndexTables(
         postings=postings,
         doclens=doclens,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from neural_search_spark.analysis.tokenizer import tokenizer_hash
 from neural_search_spark.data.docids import assign_doc_ids_to_parquet
 from neural_search_spark.index.build import (
-    build_doclens,
+    build_doclens_from_postings,
     build_postings,
     build_term_stats,
 )
@@ -205,7 +205,10 @@ def build_index(
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
 
     def produce_doclens(out_path: str):
-        dl = build_doclens(docs)
+        # derive dl = Σ tf from the postings parquet (plus a pruned id scan
+        # of docs for empty-doc completion) — the corpus is tokenized only
+        # once, in the postings stage
+        dl = build_doclens_from_postings(postings, docs=docs)
         dl.write.mode("overwrite").parquet(out_path)
         return _count_and_checksum(spark.read.parquet(out_path))
 
