@@ -50,10 +50,21 @@ def synthesize_transcripts(
     seed: int = 42,
     tokens_per_turn: int = 24,
     partitions: int | None = None,
+    min_tokens: int | None = None,
+    burstiness: float = 0.0,
 ) -> DataFrame:
     """Deterministic transcripts DataFrame; ~tokens_per_turn Zipf tokens per
     turn + one unique token per turn. Pure column expressions — the text for
     global row i is a function of (i, seed) only, independent of partitioning.
+
+    Defaults reproduce the original fixture byte-for-byte. Two optional
+    realism knobs (for block-max pruning benchmarks, where per-block score
+    variance matters):
+    - `min_tokens`: per-turn token count varies deterministically in
+      [min_tokens, tokens_per_turn] → document-length variance → BM25
+      length-norm variance across posting blocks;
+    - `burstiness` p: each non-leading slot repeats the turn's first word
+      with probability ~p → heavy within-doc term repetition → tf variance.
     """
     n = n_convs * turns_per_conv
     df = spark.range(0, n, 1, numPartitions=partitions or spark.sparkContext.defaultParallelism)
@@ -70,8 +81,20 @@ def synthesize_transcripts(
         h = F.abs(F.hash(i * F.lit(2654435761), F.lit(j), F.lit(seed)))
         # map uniform h to Zipf-like rank: rank = h % (1 + h % v) biases low ranks
         rank = (h % (F.lit(1) + (h % v))) % v
-        words.append(F.element_at(F.array(*[F.lit(w) for w in VOCAB]), rank + 1))
-    text = F.concat_ws(" ", *words, F.format_string("tok%d", i))
+        word = F.element_at(F.array(*[F.lit(w) for w in VOCAB]), rank + 1)
+        if burstiness > 0.0 and j > 0:
+            hb = F.abs(F.hash(i * F.lit(97), F.lit(j), F.lit(seed), F.lit(1315423911)))
+            word = F.when((hb % 1000) < int(burstiness * 1000), words[0]).otherwise(word)
+        words.append(word)
+    if min_tokens is not None:
+        if not 1 <= min_tokens <= tokens_per_turn:
+            raise ValueError("min_tokens must be in [1, tokens_per_turn]")
+        hlen = F.abs(F.hash(i * F.lit(40503), F.lit(seed), F.lit(7)))
+        length = F.lit(min_tokens) + (hlen % F.lit(tokens_per_turn - min_tokens + 1))
+        arr = F.slice(F.array(*words), 1, length)
+        text = F.concat_ws(" ", F.array_join(arr, " "), F.format_string("tok%d", i))
+    else:
+        text = F.concat_ws(" ", *words, F.format_string("tok%d", i))
 
     return df.select(
         conv.alias("conv_id"),

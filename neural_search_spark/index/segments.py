@@ -118,7 +118,15 @@ def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     tf_f = tfs.astype(np.float64)
     dl_f = dls.astype(np.float64)
     comp = tf_f / (tf_f + K1 * (1.0 - B + B * dl_f / avgdl))
-    max_comp = np.maximum.reduceat(comp, bstart).astype(np.float32)
+    m64 = np.maximum.reduceat(comp, bstart)
+    # the stored float32 must stay an UPPER bound of the float64 max —
+    # a round-down by one ulp makes the WAND block filter unsound (a block
+    # holding a true top-k doc gets pruned when θ lands inside the ulp gap),
+    # so bump any down-rounded value to the next float32
+    max_comp = m64.astype(np.float32)
+    low = max_comp.astype(np.float64) < m64
+    if low.any():
+        max_comp[low] = np.nextafter(max_comp[low], np.float32(np.inf))
 
     return pd.DataFrame(
         {

@@ -6,26 +6,28 @@ query/HybridScoreBlockBoundaryPropagator.java:39-98 block boundaries):
 instead of advancing doc-at-a-time iterators past non-competitive blocks, we
 *filter the block table* before decoding anything.
 
-Algorithm (provably exact top-k):
+Algorithm (provably exact top-k; zone-aligned block-max — the
+set-at-a-time analog of BMW's aligned block boundaries):
  1. For each query term t: w_idf(t) = w_q(t)·idf(t); per-block upper bound
-    ub(t, blk) = w_idf(t) · max_score_component(blk) (stored at build time).
- 2. Seed θ: decode only the single highest-ub block per term, score those
-    docs on their seed contributions; θ = k-th best partial score — a lower
-    bound of the true k-th best score.
- 3. Prune: keep block (t, blk) iff ub(t, blk) ≥ θ − Σ_{t'≠t} maxub(t').
-    For any doc d with true score ≥ θ at least one of its blocks survives
-    (if all its blocks failed the test, every per-term bound chain gives
-    score(d) ≤ θ) → every true top-k doc appears in a surviving block.
- 4. Rescue: docs seen in surviving blocks may still miss contributions from
-    pruned blocks of OTHER terms. The rescue set is BOUNDED first: a doc
-    occupies exactly one block per term, so its surviving partial score plus
-    Σ maxub over terms NOT seen among its surviving blocks upper-bounds its
-    true score; docs below θ on that bound are dropped before the broadcast
-    (they provably cannot enter the top-k). Only then are pruned blocks
-    whose [first_docID, last_docID] zone intersects a remaining candidate
-    decoded (broadcast range-join against the now-k-scale candidate set).
- 5. Exact score = Σ decoded contributions per candidate; top-k, ties by
-    docID asc (ScoreCombiner.java:37-50 semantics).
+    ub(t, blk) = w_idf(t) · max_score_component(blk) (stored at build time,
+    rounded UP into float32 so it stays a true upper bound).
+ 2. Seed θ: decode the `seed_blocks` highest-ub blocks per term, score
+    those docs on their seed contributions; θ = k-th best partial score —
+    a lower bound of the true k-th best score.
+ 3. Zone bounds: cut the docID space into fixed zones (`zone_width` ids).
+    Any doc in zone z scores ≤ ztot(z) = Σ_t (max ub of t's blocks
+    overlapping z) — each doc sits in exactly one block per term. Blocks
+    spanning ≥ `wide_cap` zones (rare terms: few blocks, huge docID span)
+    are never exploded: they are always decoded and enter every zone's
+    bound via the per-term constant gmax.
+ 4. Prune zones with ztot < θ; decode the wide blocks plus every narrow
+    block overlapping a surviving zone. A doc in a surviving zone has ALL
+    its blocks in the decode set, so its aggregate is its exact score — no
+    rescue phase exists. Docs from pruned zones that leak in via block
+    overlap carry (possibly partial) scores < θ and cannot displace the
+    true top-k.
+ 5. Exact score = Σ decoded contributions per doc; top-k, ties by docID
+    asc (ScoreCombiner.java:37-50 semantics).
 
 Everything is DataFrame dataflow; decoding is a vectorized Arrow pass
 (codec.decode_blocks_batch — one varint sweep per partition, no per-row
@@ -55,22 +57,9 @@ _DECODED_SCHEMA = T.StructType(
     ]
 )
 
-_DECODED_TERM_SCHEMA = T.StructType(
-    [
-        T.StructField("term", T.StringType(), False),
-        T.StructField("docID", T.LongType(), False),
-        T.StructField("part", T.DoubleType(), False),
-    ]
-)
-
-
-def _decode_and_score(
-    blocks: DataFrame, avgdl: float, k1: float, b: float, keep_term: bool = False
-) -> DataFrame:
+def _decode_and_score(blocks: DataFrame, avgdl: float, k1: float, b: float) -> DataFrame:
     """blocks: (term, w_idf, n, docids, tfs, dls) → (docID, part) partial
-    scores, decoded+scored in one vectorized pass per Arrow batch.
-    `keep_term=True` also emits the contributing term (needed to bound the
-    rescue set per doc)."""
+    scores, decoded+scored in one vectorized pass per Arrow batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -84,12 +73,9 @@ def _decode_and_score(
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
             part = w_idf * (tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-            out = {"docID": docids.astype(np.int64), "part": part}
-            if keep_term:
-                out = {"term": batch["term"].to_numpy()[block_idx], **out}
-            yield pd.DataFrame(out)
+            yield pd.DataFrame({"docID": docids.astype(np.int64), "part": part})
 
-    return blocks.mapInPandas(run, schema=_DECODED_TERM_SCHEMA if keep_term else _DECODED_SCHEMA)
+    return blocks.mapInPandas(run, schema=_DECODED_SCHEMA)
 
 
 def wand_topk(
@@ -102,6 +88,9 @@ def wand_topk(
     k1: float = K1,
     b: float = B,
     prune: bool = True,
+    seed_blocks: int = 32,
+    zone_width: int = 1024,
+    wide_cap: int = 64,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """(rank, docID, score) exact BM25 top-k over the segment table.
@@ -129,6 +118,26 @@ def wand_topk(
     if not w_idf:
         return spark.createDataFrame([], "rank long, docID long, score double")
 
+    # explicit scan predicates: a broadcast join does NOT push its keys into
+    # the parquet reader, so filter term IN (…) for row-group skipping and —
+    # when the table carries the shard partition column — shard IN (…) for
+    # directory-level partition pruning (shard = hash(term) % N_SHARDS,
+    # computed engine-side so it matches the writer exactly)
+    scan_filter = F.col("term").isin(q_terms)
+    if "shard" in segments.columns:
+        from neural_search_spark.index.segments import shard_col
+
+        shard_vals = sorted(
+            {
+                r["s"]
+                for r in spark.createDataFrame([(t,) for t in q_terms], "term string")
+                .select(shard_col(F.col("term")).alias("s"))
+                .collect()
+            }
+        )
+        scan_filter = scan_filter & F.col("shard").isin(shard_vals)
+    segments = segments.where(scan_filter)
+
     widf_df = F.broadcast(
         spark.createDataFrame([(t, w) for t, w in sorted(w_idf.items())], "term string, w_idf double")
     )
@@ -142,20 +151,23 @@ def wand_topk(
         )
         return _ranked(scored.groupBy("docID").agg(F.sum("part").alias("score")), k)
 
-    qblocks = qblocks.persist()
+    # only the metadata columns are persisted — the compressed payloads are
+    # re-read lazily by whichever decode actually runs
+    meta_cols = ["term", "salt", "blockID", "first_docID", "last_docID", "ub"]
+    qmeta = qblocks.select(*meta_cols).persist()
     try:
-        # per-term max block upper bound (tiny aggregate, collected)
-        maxub = {
-            r["term"]: r["mx"]
-            for r in qblocks.groupBy("term").agg(F.max("ub").alias("mx")).collect()
-        }
-        m_total = sum(maxub.values())
-
-        # seed θ from the best block of each term
+        # seed θ from the `seed_blocks` highest-ub blocks of each term: the
+        # k-th best score among their docs lower-bounds the true k-th best,
+        # and decoding S·q blocks (~S·q·block_size postings) is noise next
+        # to the full scan it saves. One block (the classic seed) puts θ at
+        # ~the 92nd percentile of the score distribution — too weak to
+        # prune anything; 32 blocks of tf-heavy docs put it near the top.
         w_seed = Window.partitionBy("term").orderBy(F.col("ub").desc(), F.col("blockID").asc())
-        seed_blocks = qblocks.withColumn("_r", F.row_number().over(w_seed)).where(F.col("_r") == 1)
+        seed_set = qblocks.withColumn("_r", F.row_number().over(w_seed)).where(
+            F.col("_r") <= seed_blocks
+        )
         seed_scores = (
-            _decode_and_score(seed_blocks.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b)
+            _decode_and_score(seed_set.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b)
             .groupBy("docID")
             .agg(F.sum("part").alias("score"))
             .orderBy(F.col("score").desc(), F.col("docID").asc())
@@ -164,72 +176,83 @@ def wand_topk(
         )
         theta = seed_scores[-1]["score"] if len(seed_scores) >= k else 0.0
 
-        # block filter: survive iff ub ≥ θ − Σ_{t'≠t} maxub(t')
-        thresh_rows = [(t, theta - (m_total - maxub[t])) for t in maxub]
-        thresh_df = F.broadcast(spark.createDataFrame(thresh_rows, "term string, thr double"))
-        surviving = qblocks.join(thresh_df, "term").where(F.col("ub") >= F.col("thr"))
-        pruned = qblocks.join(thresh_df, "term").where(F.col("ub") < F.col("thr"))
+        # --- zone-aligned block-max pruning (set-at-a-time BMW analog) ---
+        # The docID space is cut into fixed zones of `zone_width` ids. For
+        # every zone, an upper bound of ANY doc's total score inside it:
+        #   ztot(z) = Σ_t max-ub of t's blocks overlapping z
+        # (a doc's per-term contribution is bounded by the max of the one
+        # block that holds it). Zones with ztot < θ cannot contain a top-k
+        # doc; every other doc has ALL its blocks inside the decoded set,
+        # so scores are exact and NO rescue phase exists. Blocks spanning
+        # more than `wide_cap` zones (rare terms — few blocks, wide docID
+        # span) are not exploded: they are always decoded, and their
+        # per-term max enters every zone's bound as the constant G.
+        # default zone_width 1024 ≈ 8 head-term blocks per zone
+        zlo = (F.col("first_docID") / zone_width).cast("long")
+        zhi = (F.col("last_docID") / zone_width).cast("long")
+        classified = qmeta.withColumn("_zlo", zlo).withColumn("_zhi", zhi).withColumn(
+            "_wide", (F.col("_zhi") - F.col("_zlo")) >= wide_cap
+        )
+        wide = classified.where(F.col("_wide"))
+        narrow = classified.where(~F.col("_wide"))
+        gmax = {
+            r["term"]: r["mx"]
+            for r in wide.groupBy("term").agg(F.max("ub").alias("mx")).collect()
+        }
+        g_const = sum(gmax.values())
+        gmax_df = F.broadcast(
+            spark.createDataFrame(
+                [(t, gmax.get(t, 0.0)) for t in sorted(w_idf)], "term string, gmx double"
+            )
+        )
+        zstats = (
+            narrow.select("term", F.explode(F.sequence("_zlo", "_zhi")).alias("zone"), "ub")
+            .groupBy("term", "zone")
+            .agg(F.max("ub").alias("zmax"))
+            .join(gmax_df, "term")
+            # Σ_t max(zmax, gmx) = G + Σ_present max(zmax − gmx, 0); terms
+            # with no narrow block in the zone contribute exactly gmx via G
+            .groupBy("zone")
+            .agg(F.sum(F.greatest(F.col("zmax") - F.col("gmx"), F.lit(0.0))).alias("excess"))
+        )
+        surviving_zones = zstats.where(F.col("excess") + F.lit(g_const) >= F.lit(theta)).select("zone")
 
-        surv_scored = _decode_and_score(
-            surviving.select("term", "w_idf", "n", "docids", "tfs", "dls"),
-            avgdl, k1, b, keep_term=True,
-        ).persist()
-        try:
-            # Bound the rescue set to the provably-still-competitive docs:
-            # a doc appears in exactly one block per term, so terms seen in
-            # its surviving blocks can contribute nothing more; the missed
-            # contribution is ≤ Σ maxub over UNSEEN terms. Docs with
-            # partial + missed_ub < θ cannot reach the top-k (θ lower-bounds
-            # the true k-th score) and are dropped BEFORE the broadcast —
-            # the candidate set is now O(k·surviving-block-density), not
-            # "every docID in any surviving block".
-            maxub_df = F.broadcast(
-                spark.createDataFrame(sorted(maxub.items()), "term string, mx double")
-            )
-            per_doc = (
-                surv_scored.join(maxub_df, "term")
-                .groupBy("docID")
-                .agg(F.sum("part").alias("_partial"), F.sum("mx").alias("_seen_ub"))
-            )
-            candidates = per_doc.where(
-                F.col("_partial") + (F.lit(m_total) - F.col("_seen_ub")) >= F.lit(theta)
-            ).select("docID")
-            # rescue: pruned blocks overlapping any candidate (zone-map
-            # range join against the small broadcast candidate set)
-            rescue_blocks = (
-                pruned.join(
-                    F.broadcast(candidates),
-                    (F.col("docID") >= F.col("first_docID")) & (F.col("docID") <= F.col("last_docID")),
-                    "left_semi",
-                )
-            )
-            rescue_scored = _decode_and_score(
-                rescue_blocks.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b
-            ).join(F.broadcast(candidates), "docID", "left_semi")
+        narrow_keep = (
+            narrow.select("term", "salt", "blockID", F.explode(F.sequence("_zlo", "_zhi")).alias("zone"))
+            .join(surviving_zones, "zone", "left_semi")
+            .select("term", "salt", "blockID")
+            .distinct()
+        )
+        keep_keys = narrow_keep.unionByName(wide.select("term", "salt", "blockID"))
+        decode_set = qblocks.join(keep_keys, ["term", "salt", "blockID"], "left_semi")
 
-            total = (
-                surv_scored.select("docID", "part")
-                .unionByName(rescue_scored)
-                .groupBy("docID")
-                .agg(F.sum("part").alias("score"))
+        scored = _decode_and_score(
+            decode_set.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b
+        )
+        total = scored.groupBy("docID").agg(F.sum("part").alias("score"))
+        rows = _ranked(total, k).collect()
+        if stats_out is not None:
+            n_total = qmeta.count()
+            n_wide = wide.count()
+            n_zones = zstats.count()
+            n_zones_surv = surviving_zones.count()
+            n_decoded = n_wide + narrow_keep.count()
+            stats_out.update(
+                {
+                    "theta": theta,
+                    "blocks_total": n_total,
+                    "blocks_surviving": n_decoded,
+                    "blocks_wide": n_wide,
+                    "zones_total": n_zones,
+                    "zones_surviving": n_zones_surv,
+                    # kept for older callers: the zone design has no rescue
+                    "blocks_rescued": 0,
+                    "rescue_candidates": 0,
+                }
             )
-            # materialize before unpersisting the cached intermediates
-            rows = _ranked(total, k).collect()
-            if stats_out is not None:
-                stats_out.update(
-                    {
-                        "theta": theta,
-                        "blocks_total": qblocks.count(),
-                        "blocks_surviving": surviving.count(),
-                        "blocks_rescued": rescue_blocks.count(),
-                        "rescue_candidates": candidates.count(),
-                    }
-                )
-            return spark.createDataFrame(rows, "rank int, docID long, score double")
-        finally:
-            surv_scored.unpersist()
+        return spark.createDataFrame(rows, "rank int, docID long, score double")
     finally:
-        qblocks.unpersist()
+        qmeta.unpersist()
 
 
 def _ranked(scores: DataFrame, k: int) -> DataFrame:

@@ -183,9 +183,11 @@ def test_wand_pruning_actually_prunes(spark, transcripts, index_tables, segments
     # max-score bound reaches it survive — the sharpest pruning case
     terms = ["the"]
     stats: dict = {}
+    # small zone_width so the 200-doc fixture spans multiple zones (the
+    # default 1024 is sized for corpus-scale head-term block spans)
     got = wand_topk(
         segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
-        terms, k=1, stats_out=stats,
+        terms, k=1, zone_width=32, stats_out=stats,
     ).collect()
     exp = oracle.topk(oracle.bm25_scores(docs, terms), 1)
     assert [r["docID"] for r in got] == [d for d, _ in exp]
