@@ -86,11 +86,16 @@ def main() -> None:
         "bm25_wand_top10",
         "two_phase_sparse_top10",
         "hybrid_minmax_arithmetic",
+        "hybrid_neural_match",
+        "neural_top10",
         "token_term_counts",
         "dedup_exact",
         "minhash_lsh_pairs",
+        "lsh_jaccard_verified",
         "simhash",
+        "simhash_pairs",
         "cosine_top10",
+        "lsh_cosine_top10",
         "chunk_fixed_token_length",
     ]
     qfns = entry.queries()
