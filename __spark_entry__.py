@@ -49,6 +49,7 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3
 EMB_DIM, LSH_PLANES, LSH_PROBE = 64, 8, 2
 NEURAL_MIN_SCORE = 0.15
+IVF_CLUSTERS, IVF_NPROBE = 16, 4
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 
 # ---------------------------------------------------------------------------
@@ -589,6 +590,49 @@ def q_nested_roundtrip_tokens(spark, sf_dir):
     )
 
 
+def _ivf_hash_centroids():
+    """Deterministic, dataset-independent coarse quantizer: md5-derived
+    integer coordinates in [-1000, 1000], L2-normalized in Python and
+    embedded as full-precision literals on both engines. (The trained
+    spherical-k-means quantizer, ops/similarity.ivf_train_centroids, is
+    data-dependent and validated in pytest instead — a SQL re-derivation of
+    5 Lloyd iterations would compound float ulps across engines.)"""
+    import hashlib
+
+    import numpy as np
+
+    c = np.array(
+        [
+            [
+                int(hashlib.md5(f"ivf{j}|{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+                for d in range(EMB_DIM)
+            ]
+            for j in range(IVF_CLUSTERS)
+        ],
+        dtype=np.float64,
+    )
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_ivf_cosine_top10(spark, sf_dir):
+    """IVF ANN scale path: cluster assigned at INDEX time (ivf_index; at
+    scale a partitionBy key), query probes the nprobe nearest clusters via
+    an IN-list filter, exact cosine rerank inside them."""
+    from neural_search_spark.ops.similarity import ivf_cosine_topk, ivf_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = _qvec(spark, sf_dir)
+    cents = _ivf_hash_centroids()
+    indexed = ivf_index(emb, cents)
+    return ivf_cosine_topk(
+        indexed, qvec, cents, k=K, nprobe=IVF_NPROBE
+    ).select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_events_hourly_agg(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -829,6 +873,36 @@ def _oracle_hybrid_neural() -> str:
   {_sql_rank("combined", "score", "doc_id", K)}"""
 
 
+def _oracle_ivf_cosine() -> str:
+    cents = _ivf_hash_centroids()
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(float(x)) for x in cents[j]))
+        for j in range(IVF_CLUSTERS)
+    )
+    return f"""
+  with q as {_SQL_QVEC},
+  cent as (select * from (values {vals}) as t(j, cv)),
+  emb as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+  assign as (
+    select vec_id, e, j,
+           row_number() over (partition by vec_id
+                              order by list_dot_product(e, cv) desc, j asc) as rn
+    from emb cross join cent
+  ),
+  best as (select vec_id, e, j as cluster from assign where rn = 1),
+  probes as (
+    select j from cent, q order by list_dot_product(qe, cv) desc, j asc limit {IVF_NPROBE}
+  ),
+  cand as (select vec_id, e from best where cluster in (select j from probes)),
+  scored as (
+    select vec_id,
+           round(list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) as cosine
+    from cand, q
+  )
+  {_sql_rank("scored", "cosine", "vec_id", K)}"""
+
+
 def _oracle_lsh_cosine() -> str:
     """DuckDB mirror of the sign-LSH probe + exact cosine rerank. The ±1
     plane coefficients are md5-derived and deterministic, so they are
@@ -907,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed_whitespace_limited": q_chunk_fixed_whitespace_limited,
         "cosine_top10": q_cosine_top10,
         "lsh_cosine_top10": q_lsh_cosine_top10,
+        "ivf_cosine_top10": q_ivf_cosine_top10,
         "total_hits_relation": q_total_hits_relation,
         "query_with_aggs": q_query_with_aggs,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
@@ -1097,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
   )
   {_sql_rank("scored", "cosine", "vec_id", K)}""",
         "lsh_cosine_top10": _oracle_lsh_cosine(),
+        "ivf_cosine_top10": _oracle_ivf_cosine(),
         "total_hits_relation": f"""
   with {SQL_INDEX_CTES},
   n as (

@@ -132,6 +132,92 @@ def probe_buckets(q_bucket: int, n_planes: int = 8, probe_hamming: int = 2) -> l
     return sorted(out)
 
 
+# -- IVF (inverted-file) ANN: coarse spherical k-means quantizer ------------
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer, trained driver-side
+    on a fixed sample (the `sample` lowest ids — reproducible in any
+    engine; IVF training on a sample is standard practice at any scale).
+    Returns L2-normalized centroids (n_clusters, dim): cosine argmax over
+    clusters reduces to a plain dot-product argmax against them. Lloyd
+    iterations are numpy; empty clusters keep their previous centroid.
+    """
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # deterministic init: evenly spaced sample rows (sorted by id)
+    idx = np.linspace(0, len(xn) - 1, n_clusters).astype(int)
+    c = xn[idx].copy()
+    for _ in range(iters):
+        assign = (xn @ c.T).argmax(axis=1)
+        for j in range(n_clusters):
+            members = xn[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    c[j] = m / n
+    return c
+
+
+def ivf_assign_col(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Cluster id = argmax_j centroid_j · v (ties → lowest j), as an
+    Arrow-batched matrix multiply — the index-time assignment."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    ct = np.ascontiguousarray(centroids.T)  # (dim, C)
+
+    @pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        return pd.Series((mat @ ct).argmax(axis=1).astype(np.int32))
+
+    return assign(vec_col)
+
+
+def ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-time clustering: adds the `cluster` column. Write with
+    `.write.partitionBy("cluster")` so a probe prunes to nprobe cluster
+    directories out of n_clusters — the IVF analog of lsh_index."""
+    return emb.withColumn("cluster", ivf_assign_col(F.col(vec_col), centroids))
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the `nprobe` clusters whose centroids are
+    closest to the query, exact cosine rerank inside them. If `emb` lacks
+    the `cluster` column it is assigned on the fly (small corpora only; at
+    scale always pre-cluster with ivf_index + partitionBy)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(centroids @ q), kind="stable")
+    probes = [int(j) for j in order[:nprobe]]
+    if "cluster" not in emb.columns:
+        emb = ivf_index(emb, centroids, vec_col)
+    cand = emb.where(F.col("cluster").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],

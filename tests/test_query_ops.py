@@ -428,6 +428,51 @@ def test_dsl_neural_validation(spark, transcripts, index_tables, neural_engine):
         bare.search({"neural": {"embedding": {"query_vector": q}}})
 
 
+def test_ivf_trained_recall_and_partition_pruning(spark, tmp_path):
+    """IVF with the trained spherical-k-means quantizer: exhaustive probe
+    equals exact cosine; default nprobe gives substantial recall; the
+    pre-clustered path is identical to on-the-fly and partition-prunes."""
+    import numpy as np
+    from neural_search_spark.ops.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivf_index,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(21)
+    vecs = rng.normal(size=(400, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    cents = ivf_train_centroids(emb, dim=16, n_clusters=8, sample=256, iters=4)
+    assert cents.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    q = [float(x) for x in vecs[5]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    exhaustive = [
+        r["vec_id"] for r in ivf_cosine_topk(emb, q, cents, k=10, nprobe=8).collect()
+    ]
+    assert exhaustive == exact  # probing every cluster == exact
+    approx = [r["vec_id"] for r in ivf_cosine_topk(emb, q, cents, k=10, nprobe=3).collect()]
+    assert len(set(approx) & set(exact)) / 10 >= 0.5
+    assert approx[0] == 5  # the query vector's own cluster is always probed
+
+    # pre-clustered + partitionBy: same result, partition filters on cluster
+    path = str(tmp_path / "emb_ivf")
+    ivf_index(emb, cents).write.partitionBy("cluster").parquet(path)
+    stored = spark.read.parquet(path)
+    pre = [r["vec_id"] for r in ivf_cosine_topk(stored, q, cents, k=10, nprobe=3).collect()]
+    assert pre == approx
+    plan = (
+        ivf_cosine_topk(stored, q, cents, k=10, nprobe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
 def test_lsh_prebucketed_partition_pruning(spark, tmp_path):
     """Index-time bucketing (lsh_index + partitionBy('bucket')): the probe
     is an IN-list filter on the partition column — identical results to the
