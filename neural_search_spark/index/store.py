@@ -34,14 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neural_search_spark.analysis.tokenizer import tokenizer_hash
-from neural_search_spark.data.docids import assign_doc_ids_to_parquet
+from neural_search_spark.data.docids import assign_doc_ids
 from neural_search_spark.index.build import (
     build_doclens_from_postings,
     build_postings,
     build_term_stats,
 )
 from neural_search_spark.index.codec import CODEC_VERSION
-from neural_search_spark.index.segments import build_segments, write_segments
+from neural_search_spark.index.segments import build_segments, shard_col
 
 STAGES = ["docs", "postings", "doclens", "term_stats", "segments"]
 
@@ -56,6 +56,38 @@ def _count_and_checksum(df: DataFrame) -> tuple[int, str]:
         F.count("*").alias("n"),
     ).first()
     return int(row["n"]), f"{row['h']}:{row['n']}"
+
+
+def _write_with_metrics(df: DataFrame, path: str, shard: bool = False) -> tuple[int, str]:
+    """Write a stage's parquet and collect its lineage metrics (row count +
+    order-insensitive checksum) IN the write job via `observe` — no second
+    read-back pass per stage. The per-stage metric job was measured as a
+    real serial-latency tax between stages (cores idle while one extra scan
+    per stage runs). `shard=True` appends the shard(term) partition column
+    after the observation point and dir-partitions the output (the
+    write_segments layout)."""
+    from pyspark.sql import Observation
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    if shard:
+        (
+            observed.withColumn("shard", shard_col(F.col("term")))
+            .repartition("shard")
+            .sortWithinPartitions("term", "salt", "blockID")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    else:
+        observed.write.mode("overwrite").parquet(path)
+    m = obs.get
+    return int(m["n"]), f"{m['h']}:{m['n']}"
 
 
 @dataclass
@@ -189,8 +221,7 @@ def build_index(
         upstream_checksums.append(checksum)
 
     def produce_docs(out_path: str):
-        assign_doc_ids_to_parquet(transcripts, out_path)
-        return _count_and_checksum(spark.read.parquet(out_path))
+        return _write_with_metrics(assign_doc_ids(transcripts), out_path)
 
     run_stage("docs", produce_docs)
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
@@ -198,8 +229,7 @@ def build_index(
     def produce_postings(out_path: str):
         # one tokenize+explode+groupBy pass, materialized; term_stats and
         # segments read THIS parquet instead of re-deriving from raw text
-        build_postings(docs).write.mode("overwrite").parquet(out_path)
-        return _count_and_checksum(spark.read.parquet(out_path))
+        return _write_with_metrics(build_postings(docs), out_path)
 
     run_stage("postings", produce_postings)
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
@@ -208,17 +238,13 @@ def build_index(
         # derive dl = Σ tf from the postings parquet (plus a pruned id scan
         # of docs for empty-doc completion) — the corpus is tokenized only
         # once, in the postings stage
-        dl = build_doclens_from_postings(postings, docs=docs)
-        dl.write.mode("overwrite").parquet(out_path)
-        return _count_and_checksum(spark.read.parquet(out_path))
+        return _write_with_metrics(build_doclens_from_postings(postings, docs=docs), out_path)
 
     run_stage("doclens", produce_doclens)
     doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
 
     def produce_term_stats(out_path: str):
-        stats = build_term_stats(postings)
-        stats.write.mode("overwrite").parquet(out_path)
-        return _count_and_checksum(spark.read.parquet(out_path))
+        return _write_with_metrics(build_term_stats(postings), out_path)
 
     run_stage("term_stats", produce_term_stats)
     term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
@@ -232,8 +258,7 @@ def build_index(
         if postings_per_salt is not None:
             kwargs["postings_per_salt"] = postings_per_salt
         segs = build_segments(pdl, avgdl=avgdl, max_doc_id=n_docs - 1, term_stats=term_stats, **kwargs)
-        write_segments(segs, out_path)
-        return _count_and_checksum(spark.read.parquet(out_path).drop("shard"))
+        return _write_with_metrics(segs, out_path, shard=True)
 
     run_stage("segments", produce_segments)
 
