@@ -187,21 +187,18 @@ def build_index(
             sort_keys=True,
         ).encode()
     ).hexdigest()
-    upstream_checksums: list[str] = []
 
-    def run_stage(stage: str, producer) -> None:
+    def run_stage(stage: str, producer, upstream: list[str]) -> tuple[StageResult, str]:
         # fingerprint covers the full config hash AND every upstream stage's
         # content checksum — a config change invalidates all stages, an
         # upstream content change invalidates everything downstream
         fingerprint = hashlib.sha256(
-            f"{base}:{stage}:{':'.join(upstream_checksums)}".encode()
+            f"{base}:{stage}:{':'.join(upstream)}".encode()
         ).hexdigest()
         man = _read_manifest(out_dir, stage) if resume else None
         out_path = os.path.join(out_dir, stage)
         if man and man.get("fingerprint") == fingerprint and os.path.exists(out_path):
-            results.append(StageResult(stage, True, man["rows"], 0.0))
-            upstream_checksums.append(man["checksum"])
-            return
+            return StageResult(stage, True, man["rows"], 0.0), man["checksum"]
         t0 = time.time()
         rows, checksum = producer(out_path)
         _write_manifest(
@@ -217,13 +214,13 @@ def build_index(
                 "wall_sec": round(time.time() - t0, 3),
             },
         )
-        results.append(StageResult(stage, False, rows, time.time() - t0))
-        upstream_checksums.append(checksum)
+        return StageResult(stage, False, rows, time.time() - t0), checksum
 
     def produce_docs(out_path: str):
         return _write_with_metrics(assign_doc_ids(transcripts), out_path)
 
-    run_stage("docs", produce_docs)
+    r, c_docs = run_stage("docs", produce_docs, [])
+    results.append(r)
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
 
     def produce_postings(out_path: str):
@@ -231,7 +228,8 @@ def build_index(
         # segments read THIS parquet instead of re-deriving from raw text
         return _write_with_metrics(build_postings(docs), out_path)
 
-    run_stage("postings", produce_postings)
+    r, c_post = run_stage("postings", produce_postings, [c_docs])
+    results.append(r)
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
 
     def produce_doclens(out_path: str):
@@ -240,13 +238,23 @@ def build_index(
         # once, in the postings stage
         return _write_with_metrics(build_doclens_from_postings(postings, docs=docs), out_path)
 
-    run_stage("doclens", produce_doclens)
-    doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
-
     def produce_term_stats(out_path: str):
         return _write_with_metrics(build_term_stats(postings), out_path)
 
-    run_stage("term_stats", produce_term_stats)
+    # doclens and term_stats both derive from the postings parquet only —
+    # submit their Spark jobs from two threads so the scheduler overlaps
+    # them (two small stages were pure serial latency back-to-back; the
+    # driver-side stage barrier is a constant cost that otherwise caps
+    # small-input scaling efficiency)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_dl = pool.submit(run_stage, "doclens", produce_doclens, [c_docs, c_post])
+        f_ts = pool.submit(run_stage, "term_stats", produce_term_stats, [c_docs, c_post])
+        r_dl, c_dl = f_dl.result()
+        r_ts, c_ts = f_ts.result()
+    results.extend([r_dl, r_ts])
+    doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
     term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
 
     m = doclens.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).first()
@@ -260,7 +268,8 @@ def build_index(
         segs = build_segments(pdl, avgdl=avgdl, max_doc_id=n_docs - 1, term_stats=term_stats, **kwargs)
         return _write_with_metrics(segs, out_path, shard=True)
 
-    run_stage("segments", produce_segments)
+    r, _ = run_stage("segments", produce_segments, [c_docs, c_post, c_dl, c_ts])
+    results.append(r)
 
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(

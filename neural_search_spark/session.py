@@ -41,6 +41,11 @@ def get_spark(
         # → 4%); on a real cluster with wide shuffles sort-based is the norm
         .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.shuffle.file.buffer", "1m")
+        # v2 output commit: per-task rename into place instead of a serial
+        # driver-side move of every file at job commit — stage-commit time
+        # was measured as part of the constant serial latency limiting
+        # small-input scaling efficiency
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # bigger Arrow batches: fewer pandas frames + concat boundaries in
         # the vectorized encode/decode UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
