@@ -217,7 +217,7 @@ def q_bm25_wand_top10(spark, sf_dir):
     key = f"segs:{sf_dir}"
     if key not in _INDEX_CACHE:
         m = t.meta.first()
-        pdl = t.postings.join(t.doclens, "docID")
+        pdl = t.postings  # dl rides on posting rows
         max_id = t.doclens.agg(F.max("docID")).first()[0]
         segs = build_segments(
             pdl, avgdl=float(m["avgdl"]), max_doc_id=int(max_id),

@@ -61,7 +61,7 @@ def main() -> None:
     tables.doclens.count()
     t_postings = time.time()
     meta = tables.meta.first()
-    pdl = tables.postings.join(tables.doclens, "docID")
+    pdl = tables.postings  # dl rides on posting rows — no docID shuffle join
     segs = build_segments(
         pdl, avgdl=float(meta["avgdl"]), max_doc_id=int(meta["N"]) - 1, term_stats=tables.term_stats
     )

@@ -51,8 +51,16 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def build_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "docID", one_row_per_doc: bool = True
 ) -> DataFrame:
-    """(term, docID, tf). (term, docID) unique in the output — downstream
+    """(term, docID, tf, dl). (term, docID) unique in the output — downstream
     segment encoding depends on it.
+
+    `dl` (the document's token count) is carried ON the posting row: it is
+    known for free in the same batch-local pass that counts tfs, and having
+    it inline means neither the segment build nor relational BM25 scoring
+    ever needs the postings ⋈ doclens shuffle join on docID again — at
+    corpus scale that join re-shuffles the entire 10^13-row posting stream
+    once more; here it costs one int32 column that parquet RLE-compresses
+    to ~nothing (constant within a doc, rows arrive doc-clustered).
 
     PRECONDITION (default fast path): each docID occupies exactly ONE input
     row. The batch-local counter below relies on it; feeding multiple rows
@@ -73,11 +81,18 @@ def build_postings(
     higher-order functions was measured slower: Spark HOF lambdas are
     interpreted per element.)"""
     if not one_row_per_doc:
+        from pyspark.sql import Window
+
         toks = df.select(
             F.col(id_col).cast("long").alias("docID"),
             F.explode(tokenize_col(text_col)).alias("term"),
         )
-        return toks.groupBy("term", "docID").agg(F.count("*").cast("int").alias("tf"))
+        agg = toks.groupBy("term", "docID").agg(F.count("*").cast("int").alias("tf"))
+        # dl = Σ tf per doc; the fallback path pays one extra docID exchange
+        # for it (the fast path gets dl batch-locally)
+        return agg.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("docID")).cast("int")
+        )
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -87,6 +102,7 @@ def build_postings(
             T.StructField("term", T.StringType(), False),
             T.StructField("docID", T.LongType(), False),
             T.StructField("tf", T.IntegerType(), False),
+            T.StructField("dl", T.IntegerType(), False),
         ]
     )
 
@@ -101,13 +117,15 @@ def build_postings(
                 continue
             flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
             docids = np.repeat(pdf["docID"].to_numpy(), lens)
+            dls = np.repeat(lens, lens)
             g = (
-                pd.DataFrame({"term": flat, "docID": docids})
+                pd.DataFrame({"term": flat, "docID": docids, "dl": dls})
                 .groupby(["term", "docID"], sort=False)
-                .size()
-                .reset_index(name="tf")
+                .agg(tf=("dl", "size"), dl=("dl", "first"))
+                .reset_index()
             )
             g["tf"] = g["tf"].astype("int32")
+            g["dl"] = g["dl"].astype("int32")
             yield g
 
     base = df.select(

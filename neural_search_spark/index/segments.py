@@ -74,13 +74,20 @@ def shard_col(term_col) -> F.Column:
 
 
 def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
-    """Vectorized multi-group encoder: one sorted (term, salt, docID) chunk →
-    block rows, with NO per-group Python loop. Group/block boundaries, delta
-    streams, varint bytes, and block max-score are all single numpy passes;
-    the only per-block Python is the final byte-slice/tuple assembly.
-    Wire-format-identical to encoding each block separately (each block's
-    delta stream starts with an absolute docID)."""
-    terms = chunk["term"].to_numpy()
+    """Vectorized multi-group encoder: one sorted (_tid, _tid2, salt, docID)
+    chunk → block rows, with NO per-group Python loop. Group/block
+    boundaries, delta streams, varint bytes, and block max-score are all
+    single numpy passes; the only per-block Python is the final
+    byte-slice/tuple assembly. Wire-format-identical to encoding each block
+    separately (each block's delta stream starts with an absolute docID).
+
+    The chunk carries no term STRINGS at all — only the two 64-bit term
+    hashes (`_tid`, `_tid2`); the string is re-attached once per BLOCK by a
+    post-encode dictionary join in build_segments. Group boundary detection
+    therefore runs on fixed-width int64 arrays (no object-dtype compares),
+    and the Arrow transfer into this UDF is fully fixed-width."""
+    tids = chunk["_tid"].to_numpy(np.int64)
+    tid2s = chunk["_tid2"].to_numpy(np.int64)
     salts = chunk["salt"].to_numpy(np.int64)
     docs = chunk["docID"].to_numpy(np.int64).astype(np.uint64)
     tfs = chunk["tf"].to_numpy(np.int64).astype(np.uint64)
@@ -88,12 +95,7 @@ def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     n = len(chunk)
 
     new_group = np.ones(n, dtype=bool)
-    if "_gh" in chunk.columns:
-        gh = chunk["_gh"].to_numpy(np.int64)
-        gh2 = chunk["_gh2"].to_numpy(np.int64)
-        new_group[1:] = (gh[1:] != gh[:-1]) | (gh2[1:] != gh2[:-1])
-    else:
-        new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    new_group[1:] = (tids[1:] != tids[:-1]) | (tid2s[1:] != tid2s[:-1]) | (salts[1:] != salts[:-1])
     gstart = np.flatnonzero(new_group)
     gid = np.cumsum(new_group) - 1
     offset_in_group = np.arange(n, dtype=np.int64) - gstart[gid]
@@ -130,7 +132,8 @@ def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
 
     return pd.DataFrame(
         {
-            "term": terms[bstart],
+            "_tid": tids[bstart],
+            "_tid2": tid2s[bstart],
             "salt": salts[bstart].astype(np.int32),
             "blockID": block_id.astype(np.int32),
             "first_docID": docs[bstart].astype(np.int64),
@@ -173,17 +176,28 @@ def build_segments(
     width = F.greatest(F.ceil(F.lit(max_doc_id + 1) / F.col("n_salts")), F.lit(1))
     df = df.withColumn("salt", (F.col("docID") / width).cast("int")).drop("n_salts")
 
+    # Term strings are dropped BEFORE the big shuffle: each posting row
+    # carries two independent 64-bit term hashes instead of the string. The
+    # (term, salt) exchange + sort — the most memory-bound stage of the
+    # build — then moves only fixed-width ints (~24B/row vs ~40B+ with the
+    # string), the sort compares int64 prefixes instead of strings, and the
+    # Arrow hop into the Python encoder is fully fixed-width. The string is
+    # re-attached once per BLOCK (1/128th of the rows) by a dictionary join
+    # below. Two independent hashes make a cross-term collision of the
+    # composite key (2⁻¹²⁸-scale even at 10⁸-term vocabularies: p ≈ n²/2¹²⁹)
+    # effectively impossible; the same argument this encoder already relies
+    # on for adjacent-group boundary detection.
     shuffled = (
-        df.repartition(num_partitions, "term", "salt")
-        .sortWithinPartitions("term", "salt", "docID")
-        # JVM-side group keys: boundary detection in the Python encoder runs
-        # on int64 arrays instead of comparing object-dtype strings row by
-        # row (interpreter-bound at ~10^7 postings/partition). Sorted input
-        # means equal keys are adjacent; TWO independent 64-bit hashes make
-        # an adjacent-group double collision (~2^-128) effectively
-        # impossible, keeping grouping exact.
-        .withColumn("_gh", F.xxhash64("term", "salt"))
-        .withColumn("_gh2", F.xxhash64("salt", "term", F.lit(0x9E3779B9)))
+        df.select(
+            F.xxhash64("term").alias("_tid"),
+            F.xxhash64("term", F.lit(0x9E3779B9)).alias("_tid2"),
+            "salt",
+            "docID",
+            "tf",
+            "dl",
+        )
+        .repartition(num_partitions, "_tid", "salt")
+        .sortWithinPartitions("_tid", "_tid2", "salt", "docID")
     )
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,9 +214,10 @@ def build_segments(
                 # hold back the trailing (term, salt) group — it may continue
                 # in the next Arrow batch (int group-key comparison, no
                 # object-dtype string equality)
-                g = chunk["_gh"].to_numpy(np.int64)
-                g2 = chunk["_gh2"].to_numpy(np.int64)
-                tail = (g == g[-1]) & (g2 == g2[-1])
+                g = chunk["_tid"].to_numpy(np.int64)
+                g2 = chunk["_tid2"].to_numpy(np.int64)
+                s = chunk["salt"].to_numpy(np.int64)
+                tail = (g == g[-1]) & (g2 == g2[-1]) & (s == s[-1])
                 cut = len(chunk) - int(tail[::-1].argmin() if not tail.all() else len(chunk))
                 pending = chunk.iloc[cut:].copy()
                 chunk = chunk.iloc[:cut]
@@ -218,7 +233,24 @@ def build_segments(
             last, pending = pending, None
             yield _encode_chunk(last, avgdl, block_size)
 
-    return shuffled.mapInPandas(encode_partition, schema=SEGMENT_SCHEMA)
+    tid_schema = T.StructType(
+        [T.StructField("_tid", T.LongType(), False), T.StructField("_tid2", T.LongType(), False)]
+        + [f for f in SEGMENT_SCHEMA.fields if f.name != "term"]
+    )
+    blocks = shuffled.mapInPandas(encode_partition, schema=tid_schema)
+    # Re-attach the term string once per block via the term dictionary
+    # (vocabulary-sized — 128× fewer rows than postings even if every term
+    # were a singleton). AQE broadcasts it at test scale; at a 10⁸-term
+    # vocabulary it is an ordinary shuffle join over the BLOCK table, still
+    # 128× cheaper than shuffling strings with every posting.
+    tdict = term_stats.select(
+        F.xxhash64("term").alias("_tid"),
+        F.xxhash64("term", F.lit(0x9E3779B9)).alias("_tid2"),
+        "term",
+    )
+    return blocks.join(tdict, ["_tid", "_tid2"]).select(
+        *[f.name for f in SEGMENT_SCHEMA.fields]
+    )
 
 
 def write_segments(segments: DataFrame, path: str) -> None:

@@ -261,7 +261,9 @@ def build_index(
     n_docs, avgdl = int(m["N"]), float(m["avgdl"])
 
     def produce_segments(out_path: str):
-        pdl = postings.join(doclens, "docID")
+        # postings rows carry dl inline (build_postings) — no doclens join,
+        # i.e. no second full shuffle of the posting stream on docID
+        pdl = postings if "dl" in postings.columns else postings.join(doclens, "docID")
         kwargs = {}
         if postings_per_salt is not None:
             kwargs["postings_per_salt"] = postings_per_salt

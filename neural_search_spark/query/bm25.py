@@ -88,7 +88,11 @@ def bm25_score_all(
     cand = postings.join(F.broadcast(scored_terms), "term")
     if prefilter is not None:
         cand = cand.join(prefilter.select("docID"), "docID", "left_semi")
-    cand = cand.join(doclens, "docID")
+    if "dl" not in cand.columns:
+        # legacy (term, docID, tf) postings: fetch dl with a shuffle join;
+        # build_postings now carries dl inline so the matched-postings
+        # stream normally never exchanges on docID at all
+        cand = cand.join(doclens, "docID")
     dl_col = F.col("dl")
     if lucene_norms:
         from neural_search_spark.analysis.lucene_norms import int4_quantize_col

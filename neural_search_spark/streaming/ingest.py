@@ -113,7 +113,7 @@ class StreamingIndexer:
         doclens = self.spark.read.parquet(os.path.join(run_dir, "doclens"))
         avgdl = float(doclens.agg(F.avg("dl")).first()[0])
         segs = build_segments(
-            postings.join(doclens, "docID"),
+            postings,  # dl rides on the posting rows — no docID shuffle join
             avgdl=avgdl,  # per-run avgdl only shapes this run's block maxima
             max_doc_id=base + n - 1,
             block_size=self.block_size,

@@ -124,7 +124,7 @@ def test_merge_segments_disjoint_ranges(spark, tmp_path):
     # stats (the incremental-ingest contract: stats refresh, postings append)
     paths = []
     for i, cond in enumerate([F.col("docID") < 100, F.col("docID") >= 100]):
-        part = full.postings.join(full.doclens, "docID").where(cond)
+        part = full.postings.where(cond)
         segs = build_segments(part, avgdl=avgdl, max_doc_id=n_docs - 1, block_size=16,
                               term_stats=full.term_stats)
         p = str(tmp_path / f"run{i}")
@@ -171,7 +171,7 @@ def test_merge_rebuild_overlapping_head_term(spark, tmp_path):
     full = build_index_tables(tr)
     m = full.meta.first()
     avgdl, n_docs = float(m["avgdl"]), int(m["N"])
-    pdl = full.postings.join(full.doclens, "docID")
+    pdl = full.postings
 
     # interleave docIDs (even/odd) so per-term ranges overlap across runs
     paths = []

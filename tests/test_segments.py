@@ -17,7 +17,7 @@ from tests import oracle
 
 @pytest.fixture(scope="module")
 def pdl(index_tables):
-    return index_tables.postings.join(index_tables.doclens, "docID")
+    return index_tables.postings  # (term, docID, tf, dl) — dl inline
 
 
 @pytest.fixture(scope="module")

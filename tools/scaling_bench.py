@@ -36,7 +36,7 @@ spark = get_spark("scale-bench", master="local[%d]" % cpus, shuffle_partitions=s
 warm = assign_doc_ids(synthesize_transcripts(spark, 200, 10, partitions=shuffle))
 wt = build_index_tables(warm)
 wm = wt.meta.first()
-build_segments(wt.postings.join(wt.doclens, "docID"), avgdl=float(wm["avgdl"]),
+build_segments(wt.postings, avgdl=float(wm["avgdl"]),
                max_doc_id=int(wm["N"]) - 1, num_partitions=shuffle,
                term_stats=wt.term_stats).count()
 

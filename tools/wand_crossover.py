@@ -84,7 +84,7 @@ def main():
         m = collection_meta(doclens).first()
         n_docs, avgdl = int(m["N"]), float(m["avgdl"])
         segs = build_segments(
-            postings.join(doclens, "docID"), avgdl=avgdl, max_doc_id=n_docs - 1,
+            postings, avgdl=avgdl, max_doc_id=n_docs - 1,
             term_stats=term_stats,
         )
         write_segments(segs, f"{tmp}/segments")
