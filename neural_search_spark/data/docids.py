@@ -73,6 +73,19 @@ def _key_mapping(
         ranged.unpersist()
 
 
+def _mapping_join(df: DataFrame, mapping: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Join the (keys → docID) mapping back to the full rows as a SHUFFLE
+    hash join with the mapping as build side — never let the planner pick
+    the strategy here. Generated / in-memory sources carry near-zero size
+    estimates, and Catalyst was observed broadcasting the CORPUS side (a
+    272MB broadcast of the wide text rows for a 400k-turn fixture) while
+    the output inherited the checkpointed mapping's AQE-coalesced 2
+    partitions — serializing every downstream stage. The hint pins the
+    physically sane plan at every scale: corpus rows stream through one
+    exchange on the ordering key, mapping hashed per partition."""
+    return df.join(mapping.hint("shuffle_hash"), order_cols)
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str] | None = None,
@@ -96,7 +109,7 @@ def assign_doc_ids(
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if method == "keys":
         mapping = _key_mapping(df, order_cols, num_partitions, id_col)
-        return df.join(mapping, order_cols)
+        return _mapping_join(df, mapping, order_cols)
     ranged = _ranged(df, order_cols, num_partitions)
     try:
         # materialize while `ranged` is still cached; callers get a plain DF
@@ -122,7 +135,7 @@ def assign_doc_ids_to_parquet(
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if method == "keys":
         mapping = _key_mapping(df, order_cols, num_partitions, id_col)
-        df.join(mapping, order_cols).write.mode("overwrite").parquet(out_path)
+        _mapping_join(df, mapping, order_cols).write.mode("overwrite").parquet(out_path)
         return
     ranged = _ranged(df, order_cols, num_partitions)
     try:

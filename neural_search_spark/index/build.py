@@ -107,31 +107,53 @@ def build_postings(
     )
 
     def tf_batches(batches):
-        for pdf in batches:
-            toks = pdf["toks"]
-            if toks.empty:
+        # Arrow-NATIVE tf kernel (mapInArrow): token strings never become
+        # Python objects. The old pandas formulation materialized every
+        # token occurrence as a CPython str (10^7 allocations per batch) —
+        # measured as an allocator/page-fault storm at high parallelism
+        # (32-worker run: 87s utime vs 669s KERNEL time) on top of a slow
+        # object-key groupby. Here: list_flatten + dictionary_encode give
+        # int term codes in C++ over Arrow buffers, the (term, doc)
+        # composite key is int64 arithmetic, tf is a bincount, and the
+        # output batch's term column is built by pc.take on the batch
+        # dictionary — fixed-width numpy + Arrow end to end.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
                 continue
-            lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
-            total = int(lens.sum())
-            if total == 0:
+            toks = rb.column(rb.schema.get_field_index("toks"))
+            docid = rb.column(rb.schema.get_field_index("docID"))
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            if len(flat) == 0:
                 continue
-            flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
-            docids = np.repeat(pdf["docID"].to_numpy(), lens)
-            dls = np.repeat(lens, lens)
-            g = (
-                pd.DataFrame({"term": flat, "docID": docids, "dl": dls})
-                .groupby(["term", "docID"], sort=False)
-                .agg(tf=("dl", "size"), dl=("dl", "first"))
-                .reset_index()
+            denc = pc.dictionary_encode(flat)
+            tcodes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            docidx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            key = tcodes * nrows + docidx  # < vocab_batch × batch_rows ≪ 2⁶³
+            kcodes, kuniq = pd.factorize(key, sort=False)  # int64 khash — no objects
+            kuniq = np.asarray(kuniq, dtype=np.int64)
+            tf = np.bincount(kcodes).astype(np.int32)
+            g_t = kuniq // nrows
+            g_d = kuniq % nrows
+            docs_arr = docid.to_numpy(zero_copy_only=False)
+            yield pa.record_batch(
+                [
+                    pc.take(denc.dictionary, pa.array(g_t)).cast(pa.string()),
+                    pa.array(docs_arr[g_d], type=pa.int64()),
+                    pa.array(tf, type=pa.int32()),
+                    pa.array(lens[g_d].astype(np.int32), type=pa.int32()),
+                ],
+                names=["term", "docID", "tf", "dl"],
             )
-            g["tf"] = g["tf"].astype("int32")
-            g["dl"] = g["dl"].astype("int32")
-            yield g
 
     base = df.select(
         F.col(id_col).cast("long").alias("docID"), tokenize_col(text_col).alias("toks")
     )
-    return base.mapInPandas(tf_batches, schema=schema)
+    return base.mapInArrow(tf_batches, schema=schema)
 
 
 def build_doclens(df: DataFrame, text_col: str = "text", id_col: str = "docID") -> DataFrame:

@@ -17,7 +17,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # pyarrow's bundled jemalloc memory pool collapses under many concurrent
+    # Python workers on this kernel (madvise/huge-page churn: a 32-worker
+    # stage ran 232s wall / 3400s kernel-time with jemalloc vs 23s / 500s
+    # with the system allocator). Must be in the env BEFORE the JVM starts
+    # so forked pyspark workers inherit it.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    split_mb = int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "4"))
     if shuffle_partitions is None:
         # match core count in local mode; a real cluster would size this to
         # 2-3x total executor cores (or rely on AQE coalescing).
@@ -49,6 +56,24 @@ def get_spark(
         # bigger Arrow batches: fewer pandas frames + concat boundaries in
         # the vectorized encode/decode UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Finer splits/partitions for CPU-dense stages. Tokenize +
+        # tf-counting over a parquet checkpoint costs ~10-100× the per-byte
+        # CPU of a plain scan, so byte-sized defaults tuned for thin scans
+        # (128MB splits, 64MB AQE advisory, 128MB row groups) starve the
+        # cores: measured on a 32-core build, AQE coalesced the docs
+        # checkpoint to TWO files, each one row group — the unit below
+        # which maxPartitionBytes cannot split — and jstack showed all but
+        # 2 executor threads parked in getTask while 2 did every tokenize.
+        # 4MB splits / advisory / row groups keep every stage of a small
+        # run as wide as the core count; at 100 TB every stage has
+        # thousands of splits regardless and the only cost is slightly
+        # smaller row groups in intermediate checkpoints (the final segment
+        # store is dir-partitioned + sorted, unaffected). Override via
+        # SPARK_GRAFT_SPLIT_MB for pure-scan workloads.
+        .config("spark.sql.files.maxPartitionBytes", str(split_mb * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(split_mb * 1024 * 1024))
+        .config("spark.hadoop.parquet.block.size", str(split_mb * 1024 * 1024))
     )
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:

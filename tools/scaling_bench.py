@@ -30,10 +30,15 @@ from pyspark.sql import functions as F
 cpus = int(sys.argv[1]); n_turns = int(sys.argv[2]); shuffle = int(sys.argv[3])
 seg_path = sys.argv[4]; trials = int(sys.argv[5]); tokens = int(sys.argv[6])
 spark = get_spark("scale-bench", master="local[%d]" % cpus, shuffle_partitions=shuffle)
-# warm the JVM and the Python-worker pool (incl. the Arrow/pandas import in
-# every worker) so one-time startup cost is excluded — real clusters have
-# long-lived executors whose workers stay warm across jobs
-warm = assign_doc_ids(synthesize_transcripts(spark, 200, 10, partitions=shuffle))
+# warm the JVM and the Python-worker pool so one-time startup cost is
+# excluded — real clusters have long-lived executors whose workers stay warm
+# across jobs. The warm input is ~10% of the measured input (same token
+# density) because the FIRST touch of each worker's peak working set is the
+# expensive part on this virtualized host: cold, 32 workers faulting fresh
+# pages concurrently collapse into kernel zone-lock/memcg contention
+# (measured minutes of stime); warmed, the same stage runs in seconds.
+warm = assign_doc_ids(synthesize_transcripts(
+    spark, max(200, n_turns // 100), 10, tokens_per_turn=tokens, partitions=shuffle))
 wt = build_index_tables(warm)
 wm = wt.meta.first()
 build_segments(wt.postings, avgdl=float(wm["avgdl"]),
