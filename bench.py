@@ -42,6 +42,21 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+
+    # Warm the JVM + python-worker pool through the full build path before
+    # timing (long-lived cluster executors are always warm; on this
+    # virtualized host the FIRST concurrent touch of fresh pages is 30-60×
+    # slower than real hardware — see BENCH.md §1.2). Declared, unmeasured.
+    t_w = time.time()
+    warm_tr = assign_doc_ids(synthesize_transcripts(spark, n_convs=2000, turns_per_conv=10))
+    warm_tables = build_index_tables(warm_tr)
+    wm = warm_tables.meta.first()
+    build_segments(
+        warm_tables.postings, avgdl=float(wm["avgdl"]), max_doc_id=int(wm["N"]) - 1,
+        term_stats=warm_tables.term_stats,
+    ).count()
+    log(f"warm pass: {time.time() - t_w:.1f}s (excluded from timings)")
+
     t_start = time.time()
 
     # --- index build throughput ------------------------------------------

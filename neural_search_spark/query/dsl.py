@@ -327,6 +327,18 @@ class QueryEngine:
             scored = scored.join(keep, "docID", "left_semi")
 
         if sort:
+            # sort-criteria validation (FieldSortBuilder parse-time analog):
+            # reject unknown fields and bad directions up front instead of a
+            # late AnalysisException from the join below
+            for c, d in sort:
+                if d not in ("asc", "desc"):
+                    raise QueryValidationError(
+                        f"sort direction must be 'asc' or 'desc', got {d!r} for field {c!r}"
+                    )
+                if c != self.id_col and c not in self.docs.columns:
+                    raise QueryValidationError(
+                        f"unknown sort field {c!r}; available: {sorted(self.docs.columns)}"
+                    )
             meta_cols = self.docs.withColumnRenamed(self.id_col, "_did")
             joined = scored.join(meta_cols, scored.docID == F.col("_did"))
             order = [

@@ -23,6 +23,16 @@ def get_spark(
     # with the system allocator). Must be in the env BEFORE the JVM starts
     # so forked pyspark workers inherit it.
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    # glibc page retention in the python workers: first-touch page faults
+    # are catastrophically slow on this virtualized host (4GB of fresh
+    # anon memory measured at 59s to fault across 8 procs cold; ~1s once
+    # host-backed) and 32 workers faulting concurrently collapse into
+    # kernel zone-lock/memcg contention. Disabling arena trimming and
+    # raising the mmap threshold makes each long-lived worker fault its
+    # working set ONCE and keep the pages — the same behavior long-lived
+    # cluster executors exhibit naturally.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     split_mb = int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "4"))
     if shuffle_partitions is None:
@@ -75,9 +85,20 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(split_mb * 1024 * 1024))
         .config("spark.hadoop.parquet.block.size", str(split_mb * 1024 * 1024))
     )
-    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
-    if java_opts:
-        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # THP for the JVM heap (madvise mode is enabled on this kernel): 2MB
+    # pages cut heap-growth fault counts 512×; combined with an -Xms floor
+    # the heap is host-backed early instead of fault-expanding mid-job.
+    # SPARK_GRAFT_JAVA_OPTS appends/overrides (e.g. -Xms16g
+    # -XX:+AlwaysPreTouch for benchmarks that pre-fault the full heap).
+    java_opts = "-XX:+UseTransparentHugePages -Xms4g"
+    extra_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if extra_opts:
+        java_opts = f"{java_opts} {extra_opts}"
+    builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

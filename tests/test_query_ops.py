@@ -217,6 +217,12 @@ def test_dsl_sort_and_search_after(spark, transcripts, engine):
     keys2 = [(r["conv_id"], r["turn_idx"]) for r in page2]
     assert keys2 == sorted(keys2)
     assert all(k2 > tuple(cursor) for k2 in keys2)
+    # sort-criteria validation: unknown field / bad direction rejected at
+    # parse time, not as a late AnalysisException
+    with pytest.raises(QueryValidationError, match="unknown sort field"):
+        engine.search({"match_all": {}}, k=5, sort=[("no_such_col", "asc")])
+    with pytest.raises(QueryValidationError, match="direction"):
+        engine.search({"match_all": {}}, k=5, sort=[("conv_id", "ascending")])
 
 
 def test_dsl_search_after_docid_tiebreak(spark, transcripts, engine):
