@@ -108,11 +108,18 @@ SQL_SHINGLES = f"""
 
 
 def _sql_minhash_sig() -> str:
-    parts = []
-    for j in range(MINHASH_K):
-        seed_expr = "'" + str(j) + "|' || shingle"
-        parts.append(f"min({_sql_hash60(seed_expr)}) as mh_{j}")
-    return f"sig as (select id, {', '.join(parts)} from shingles group by id)"
+    # mirror of ops/dedup.py minhash_signature: ONE md5 per shingle, two
+    # 60-bit digest words, Kirsch-Mitzenmacher family (h1 + j*h2') mod 2^60
+    parts = [
+        f"min((h1 + {j} * h2) % {1 << 60}) as mh_{j}" for j in range(MINHASH_K)
+    ]
+    return (
+        "hashed as (select id, "
+        f"('0x' || substr(md5(shingle), 1, 15))::BIGINT as h1, "
+        f"('0x' || substr(md5(shingle), 17, 15))::BIGINT % {1 << 58} as h2 "
+        "from shingles), "
+        f"sig as (select id, {', '.join(parts)} from hashed group by id)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -31,17 +31,15 @@ pure concatenation — no k-way interleave.  Tail terms (the vast majority)
 get salt 0 and hash-partition by term alone.
 
 Physical build: one `repartition(term, salt)` shuffle, then
-sortWithinPartitions(term, salt, docID) + mapInPandas — a single pass of
+sortWithinPartitions(term, salt, docID) + mapInArrow — a single pass of
 vectorized numpy per partition, carrying group fragments across Arrow batch
-boundaries (no per-row Python, no per-term applyInPandas group overhead).
+boundaries (no per-row Python, no per-term applyInPandas group overhead, no
+pandas materialization: binary output columns are zero-copy Arrow buffers).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -73,26 +71,47 @@ def shard_col(term_col) -> F.Column:
     return F.pmod(F.xxhash64(term_col), F.lit(N_SHARDS)).cast("int")
 
 
-def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+def _binary_array(cum_offsets: np.ndarray, bstart: np.ndarray, n_rows: int, data: bytes):
+    """Zero-copy Arrow binary column: block i's bytes are
+    data[cum_offsets[bstart[i]] : cum_offsets[bstart[i+1]]]. Blocks are
+    consecutive row ranges, so the per-block byte ranges tile the whole
+    buffer — the column is just (offsets at block boundaries, data); no
+    per-block Python `bytes` objects are ever created."""
+    import pyarrow as pa
+
+    bounds = np.empty(len(bstart) + 1, dtype=np.int64)
+    bounds[:-1] = cum_offsets[bstart]
+    bounds[-1] = cum_offsets[n_rows]
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(bstart),
+        [None, pa.py_buffer(bounds.astype(np.int32)), pa.py_buffer(data)],
+    )
+
+
+def _encode_chunk(cols: dict[str, np.ndarray], avgdl: float, block_size: int):
     """Vectorized multi-group encoder: one sorted (_tid, _tid2, salt, docID)
-    chunk → block rows, with NO per-group Python loop. Group/block
-    boundaries, delta streams, varint bytes, and block max-score are all
-    single numpy passes; the only per-block Python is the final
-    byte-slice/tuple assembly. Wire-format-identical to encoding each block
-    separately (each block's delta stream starts with an absolute docID).
+    chunk of numpy columns → an Arrow RecordBatch of block rows, with NO
+    per-group OR per-block Python loop. Group/block boundaries, delta
+    streams, varint bytes, and block max-score are all single numpy passes;
+    the three binary columns are built zero-copy from (offsets, buffer)
+    pairs. Wire-format-identical to encoding each block separately (each
+    block's delta stream starts with an absolute docID).
 
     The chunk carries no term STRINGS at all — only the two 64-bit term
     hashes (`_tid`, `_tid2`); the string is re-attached once per BLOCK by a
     post-encode dictionary join in build_segments. Group boundary detection
     therefore runs on fixed-width int64 arrays (no object-dtype compares),
-    and the Arrow transfer into this UDF is fully fixed-width."""
-    tids = chunk["_tid"].to_numpy(np.int64)
-    tid2s = chunk["_tid2"].to_numpy(np.int64)
-    salts = chunk["salt"].to_numpy(np.int64)
-    docs = chunk["docID"].to_numpy(np.int64).astype(np.uint64)
-    tfs = chunk["tf"].to_numpy(np.int64).astype(np.uint64)
-    dls = chunk["dl"].to_numpy(np.int64).astype(np.uint64)
-    n = len(chunk)
+    and the Arrow transfer in AND out of this UDF is fully fixed-width."""
+    import pyarrow as pa
+
+    tids = cols["_tid"]
+    tid2s = cols["_tid2"]
+    salts = cols["salt"]
+    docs = cols["docID"].astype(np.uint64)
+    tfs = cols["tf"].astype(np.uint64)
+    dls = cols["dl"].astype(np.uint64)
+    n = len(tids)
 
     new_group = np.ones(n, dtype=bool)
     new_group[1:] = (tids[1:] != tids[:-1]) | (tid2s[1:] != tid2s[:-1]) | (salts[1:] != salts[:-1])
@@ -130,20 +149,24 @@ def _encode_chunk(chunk: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     if low.any():
         max_comp[low] = np.nextafter(max_comp[low], np.float32(np.inf))
 
-    return pd.DataFrame(
-        {
-            "_tid": tids[bstart],
-            "_tid2": tid2s[bstart],
-            "salt": salts[bstart].astype(np.int32),
-            "blockID": block_id.astype(np.int32),
-            "first_docID": docs[bstart].astype(np.int64),
-            "last_docID": docs[bend - 1].astype(np.int64),
-            "n": (bend - bstart).astype(np.int32),
-            "max_score_component": max_comp,
-            "docids": [dbytes[dcs[s] : dcs[e]] for s, e in zip(bstart, bend)],
-            "tfs": [tbytes[tcs[s] : tcs[e]] for s, e in zip(bstart, bend)],
-            "dls": [lbytes[lcs[s] : lcs[e]] for s, e in zip(bstart, bend)],
-        }
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(tids[bstart], pa.int64()),
+            pa.array(tid2s[bstart], pa.int64()),
+            pa.array(salts[bstart].astype(np.int32), pa.int32()),
+            pa.array(block_id.astype(np.int32), pa.int32()),
+            pa.array(docs[bstart].astype(np.int64), pa.int64()),
+            pa.array(docs[bend - 1].astype(np.int64), pa.int64()),
+            pa.array((bend - bstart).astype(np.int32), pa.int32()),
+            pa.array(max_comp, pa.float32()),
+            _binary_array(dcs, bstart, n, dbytes),
+            _binary_array(tcs, bstart, n, tbytes),
+            _binary_array(lcs, bstart, n, lbytes),
+        ],
+        names=[
+            "_tid", "_tid2", "salt", "blockID", "first_docID", "last_docID",
+            "n", "max_score_component", "docids", "tfs", "dls",
+        ],
     )
 
 
@@ -200,44 +223,42 @@ def build_segments(
         .sortWithinPartitions("_tid", "_tid2", "salt", "docID")
     )
 
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
+    in_cols = ["_tid", "_tid2", "salt", "docID", "tf", "dl"]
 
-        def flush(chunk: pd.DataFrame, final: bool):
-            nonlocal pending
-            if pending is not None:
-                chunk = pd.concat([pending, chunk], ignore_index=True)
-                pending = None
-            if chunk.empty:
-                return None
-            if not final:
-                # hold back the trailing (term, salt) group — it may continue
-                # in the next Arrow batch (int group-key comparison, no
-                # object-dtype string equality)
-                g = chunk["_tid"].to_numpy(np.int64)
-                g2 = chunk["_tid2"].to_numpy(np.int64)
-                s = chunk["salt"].to_numpy(np.int64)
-                tail = (g == g[-1]) & (g2 == g2[-1]) & (s == s[-1])
-                cut = len(chunk) - int(tail[::-1].argmin() if not tail.all() else len(chunk))
-                pending = chunk.iloc[cut:].copy()
-                chunk = chunk.iloc[:cut]
-                if chunk.empty:
-                    return None
-            return _encode_chunk(chunk, avgdl, block_size)
+    def encode_partition(batches):
+        # Arrow-native (mapInArrow): rows never become pandas frames or
+        # Python objects in either direction — int64 numpy views in, a
+        # RecordBatch with zero-copy binary columns out
+        pending: dict[str, np.ndarray] | None = None
 
         for batch in batches:
-            res = flush(batch, final=False)
-            if res is not None and not res.empty:
-                yield res
-        if pending is not None and not pending.empty:
-            last, pending = pending, None
-            yield _encode_chunk(last, avgdl, block_size)
+            if batch.num_rows == 0:
+                continue
+            cols = {
+                name: batch.column(name).to_numpy().astype(np.int64, copy=False)
+                for name in in_cols
+            }
+            if pending is not None:
+                cols = {k: np.concatenate([pending[k], cols[k]]) for k in in_cols}
+                pending = None
+            # hold back the trailing (term, salt) group — it may continue in
+            # the next Arrow batch (int group-key comparison, no object-dtype
+            # string equality)
+            g, g2, s = cols["_tid"], cols["_tid2"], cols["salt"]
+            tail = (g == g[-1]) & (g2 == g2[-1]) & (s == s[-1])
+            ntail = len(g) if tail.all() else int(tail[::-1].argmin())
+            cut = len(g) - ntail
+            pending = {k: v[cut:].copy() for k, v in cols.items()}
+            if cut:
+                yield _encode_chunk({k: v[:cut] for k, v in cols.items()}, avgdl, block_size)
+        if pending is not None and len(pending["_tid"]):
+            yield _encode_chunk(pending, avgdl, block_size)
 
     tid_schema = T.StructType(
         [T.StructField("_tid", T.LongType(), False), T.StructField("_tid2", T.LongType(), False)]
         + [f for f in SEGMENT_SCHEMA.fields if f.name != "term"]
     )
-    blocks = shuffled.mapInPandas(encode_partition, schema=tid_schema)
+    blocks = shuffled.mapInArrow(encode_partition, schema=tid_schema)
     # Re-attach the term string once per block via the term dictionary
     # (vocabulary-sized — 128× fewer rows than postings even if every term
     # were a singleton). AQE broadcasts it at test scale; at a 10⁸-term

@@ -60,15 +60,29 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 8
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) MinHash signature: mh_j = min over shingles of
-    hash60(j || '|' || shingle). k min-aggregates over one explode — no
-    cross-join row blowup."""
+    """(id, mh_0..mh_{k-1}) MinHash signature.
+
+    ONE md5 per shingle: the 128-bit digest yields two independent 60-bit
+    words h1 (hex chars 1-15) and h2 (17-31); hash j is the
+    Kirsch-Mitzenmacher combination g_j = (h1 + j·h2') mod 2^60 (the same
+    single-base-hash universal family Spark's own MinHashLSH and datasketch
+    use). vs one salted md5 per hash function this removes k-1 md5 digests
+    AND k string concats per shingle — the former hot path of the whole LSH
+    pipeline. h2 is clamped to 58 bits so h1 + j·h2' stays within int64 for
+    k ≤ 16 (DuckDB raises on BIGINT overflow; Spark would wrap silently).
+    k min-aggregates over one explode — no cross-join row blowup."""
+    if num_hashes > 16:
+        raise ValueError("num_hashes must be <= 16 (int64 overflow headroom)")
     sh = _doc_shingles(df, text_col, id_col, n)
+    digest = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long") % F.lit(1 << 58)
+    hashed = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh_{j}")
+        F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(1 << 60)).alias(f"mh_{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(

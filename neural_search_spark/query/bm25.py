@@ -85,7 +85,14 @@ def bm25_score_all(
             (F.col("q_weight") * idf_col(F.col("df"), F.lit(n_docs))).alias("w_idf"),
         )
     )
-    cand = postings.join(F.broadcast(scored_terms), "term")
+    # literal IN-list BEFORE the join: a BroadcastHashJoin does not push its
+    # build-side keys into the probe-side scan, so without this the full
+    # postings table is read per query; with it the parquet scan carries
+    # PushedFilters: In(term, […]) and skips non-matching row groups — at
+    # corpus scale the scan reads only the query terms' posting lists
+    cand = postings.where(F.col("term").isin(sorted(set(terms)))).join(
+        F.broadcast(scored_terms), "term"
+    )
     if prefilter is not None:
         cand = cand.join(prefilter.select("docID"), "docID", "left_semi")
     if "dl" not in cand.columns:

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from neural_search_spark import B, K1
 from neural_search_spark.index.build import IndexTables
-from neural_search_spark.query.bm25 import bm25_score_all
+from neural_search_spark.query.bm25 import bm25_score_col, idf_col
 
 MIN_SCORE = 0.001  # MinMaxScoreNormalizationTechnique.java:26
 MAX_SUBQUERIES = 5  # HybridQueryBuilder.java:56
@@ -79,6 +79,52 @@ def bounded_subquery_union(per: list[DataFrame], k: int) -> DataFrame:
     for p in bounded[1:]:
         union = union.unionByName(p)
     return union
+
+
+def fused_bm25_subquery_scores(
+    index: IndexTables,
+    subqueries: list[dict[str, float] | list[str]],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score every BM25 sub-query in ONE pass over the postings table:
+    (subquery_idx, docID, score).
+
+    Calling bm25_score_all per sub-query scans the postings once per
+    sub-query — n full scans at corpus scale (a broadcast join does not
+    prune the probe side). Here all sub-queries' terms go into a single
+    broadcast (subquery_idx, term, w_idf) frame and a single IN-list-pushed
+    scan; the per-(subquery, doc) aggregation is one shuffle keyed on
+    (subquery_idx, docID). Collection stats stay global per the reference
+    (query/HybridQuery.java:43-60)."""
+    spark = index.postings.sparkSession
+    m = index.meta.first()
+    n_docs = m["N"]
+    avgdl = float(m["avgdl"])
+    rows = []
+    for idx, terms in enumerate(subqueries):
+        pairs = (
+            sorted(terms.items()) if isinstance(terms, dict) else [(t, 1.0) for t in sorted(set(terms))]
+        )
+        rows.extend((idx, t, float(w)) for t, w in pairs)
+    q = spark.createDataFrame(rows, "subquery_idx int, q_term string, q_weight double")
+    scored_terms = q.join(index.term_stats, q.q_term == index.term_stats.term).select(
+        "subquery_idx",
+        "term",
+        (F.col("q_weight") * idf_col(F.col("df"), F.lit(n_docs))).alias("w_idf"),
+    )
+    all_terms = sorted({t for _, t, _ in rows})
+    cand = index.postings.where(F.col("term").isin(all_terms)).join(
+        F.broadcast(scored_terms), "term"
+    )
+    if "dl" not in cand.columns:
+        cand = cand.join(index.doclens, "docID")
+    part = F.col("w_idf") * bm25_score_col(F.col("tf"), F.col("dl"), F.lit(avgdl), k1, b)
+    return (
+        cand.select("subquery_idx", "docID", part.alias("part"))
+        .groupBy("subquery_idx", "docID")
+        .agg(F.sum("part").alias("score"))
+    )
 
 
 def normalize_scores(scores: DataFrame, technique: str = "min_max") -> DataFrame:
@@ -161,11 +207,8 @@ def hybrid_topk(
     if not 1 <= len(subqueries) <= MAX_SUBQUERIES:
         raise ValueError(f"hybrid query accepts 1..{MAX_SUBQUERIES} sub-queries (HybridQueryBuilder.java:56)")
     subquery_k = subquery_k or k
-    per = []
-    for idx, terms in enumerate(subqueries):
-        s = bm25_score_all(index.postings, index.doclens, index.term_stats, index.meta, terms, k1, b)
-        per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
-    bounded = bounded_subquery_union(per, subquery_k)
+    scores = fused_bm25_subquery_scores(index, subqueries, k1, b)
+    bounded = per_subquery_topk(scores, subquery_k)
     normalized = normalize_scores(bounded, normalization)
     combined = combine_scores(normalized, len(subqueries), combination, weights)
     top = combined.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k)
