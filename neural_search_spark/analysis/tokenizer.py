@@ -30,14 +30,24 @@ DUCKDB_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 # tokenizer choices for fixed-length chunking (FixedTokenLengthChunker.java:
 # 44-52: standard/letter/lowercase/whitespace/uax_url_email/classic/thai).
 # Each entry is (regex pattern, lowercase-first). All are exactly
-# reproducible in DuckDB (regexp_extract_all) for oracle parity; the
-# Unicode-aware variants (uax_url_email/classic/thai) need ICU analysis and
-# are intentionally not offered rather than approximated.
+# reproducible in DuckDB (regexp_extract_all) for oracle parity — leftmost-
+# first alternation semantics agree across java.util.regex, RE2, and Python
+# re. `uax_url_email` approximates Lucene's UAX29URLEmailTokenizer on its
+# defining observable (URLs and emails survive as single tokens; everything
+# else tokenizes like `standard`) — full UAX#29 word-boundary rules need ICU
+# and are a DOCUMENTED divergence. `classic` and `thai` need ICU/dictionary
+# analysis and are intentionally not offered rather than approximated badly.
 WORD_TOKENIZERS: dict[str, tuple[str, bool]] = {
     "standard": ("[a-z0-9]+", True),  # our "standard-ish" default analyzer
     "lowercase": ("[a-z]+", True),  # letter runs, lowercased
     "letter": ("[A-Za-z]+", False),  # letter runs, case preserved
     "whitespace": ("[^ \\t\\n\\r\\f]+", False),  # non-whitespace runs
+    "uax_url_email": (
+        "https?://[^ \\t\\n\\r\\f]+"
+        "|[a-z0-9][a-z0-9._%+-]*@[a-z0-9.-]+\\.[a-z]{2,}"
+        "|[a-z0-9]+",
+        True,
+    ),
 }
 
 

@@ -183,8 +183,15 @@ def test_word_tokenizers_col_matches_py(spark):
         "MixedCase letters only",
         "",
         "ünïcödé stays whole?",
+        "mail John.Doe+spam@example.co.uk or see https://spark.apache.org/docs?q=1#f",
+        "edge@case@double http://x.y a_b-c@d.ee trailing@",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    import duckdb
+
+    from neural_search_spark.analysis.tokenizer import duckdb_tokenize
+
+    con = duckdb.connect()
     for name in WORD_TOKENIZERS:
         got = {
             r["doc_id"]: r["toks"]
@@ -192,5 +199,13 @@ def test_word_tokenizers_col_matches_py(spark):
         }
         for i, t in enumerate(texts):
             assert got[i] == tokenize_py(t, name), (name, t)
+            # three-way parity: Spark (java regex) == Python re == DuckDB RE2
+            dd = con.execute(f"select {duckdb_tokenize('?', name)}", [t]).fetchone()[0]
+            assert got[i] == dd, (name, t)
+    # URLs and emails survive as single tokens under uax_url_email
+    uax = tokenize_py(texts[5], "uax_url_email")
+    assert "john.doe+spam@example.co.uk" in uax
+    assert "https://spark.apache.org/docs?q=1#f" in uax
+    assert tokenize_py(texts[5], "standard") != uax
     with pytest.raises(ValueError, match="not supported"):
         tokenize_col("text", "thai").alias("x")
