@@ -66,6 +66,16 @@ def get_spark(
         # bigger Arrow batches: fewer pandas frames + concat boundaries in
         # the vectorized encode/decode UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4's default maxBytesPerBatch (64MB) makes the JVM→Python
+        # Arrow writer call ArrowWriter.sizeInBytes() — a recursive
+        # struct-vector buffer walk that allocates iterators — for EVERY
+        # input row (BatchedPythonArrowInput.writeSizedBatch only skips the
+        # check when the limit is exactly Int.MaxValue). jstack-sampling the
+        # segment encode showed ~40% of RUNNABLE JVM samples inside that
+        # walk. Batch size stays bounded by maxRecordsPerBatch (65536 rows
+        # of fixed-width posting columns ≈ 2.4MB), so the byte limit adds
+        # nothing here — disable it by pinning the sentinel value.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str((1 << 31) - 1))
         # Finer splits/partitions for CPU-dense stages. Tokenize +
         # tf-counting over a parquet checkpoint costs ~10-100× the per-byte
         # CPU of a plain scan, so byte-sized defaults tuned for thin scans
