@@ -99,9 +99,15 @@ def wand_topk(
     baseline the pruned path is asserted against). `stats_out`, if given, is
     filled with pruning telemetry: total/surviving/rescued block counts and
     the seeded θ."""
+    import time as _time
+
     spark = segments.sparkSession
     if not isinstance(terms, dict):
         terms = {t: 1.0 for t in sorted(set(terms))}
+    phases: dict[str, float] = {}
+    if stats_out is not None:
+        stats_out["phase_sec"] = phases
+    _t0 = _time.time()
 
     # w_idf per query term: tiny collect of q rows (df lookup), like the
     # reference's per-term TermStatistics fetch at query start
@@ -110,6 +116,7 @@ def wand_topk(
         r["term"]: r["df"]
         for r in term_stats.where(F.col("term").isin(q_terms)).collect()
     }
+    phases["df_lookup"] = round(_time.time() - _t0, 3)
     w_idf = {
         t: terms[t] * math.log(1.0 + (n_docs - stats[t] + 0.5) / (stats[t] + 0.5))
         for t in q_terms
@@ -166,6 +173,7 @@ def wand_topk(
         seed_set = qblocks.withColumn("_r", F.row_number().over(w_seed)).where(
             F.col("_r") <= seed_blocks
         )
+        _t0 = _time.time()
         seed_scores = (
             _decode_and_score(seed_set.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b)
             .groupBy("docID")
@@ -175,6 +183,7 @@ def wand_topk(
             .collect()
         )
         theta = seed_scores[-1]["score"] if len(seed_scores) >= k else 0.0
+        phases["theta_seed"] = round(_time.time() - _t0, 3)
 
         # --- zone-aligned block-max pruning (set-at-a-time BMW analog) ---
         # The docID space is cut into fixed zones of `zone_width` ids. For
@@ -230,13 +239,17 @@ def wand_topk(
             decode_set.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b
         )
         total = scored.groupBy("docID").agg(F.sum("part").alias("score"))
+        _t0 = _time.time()
         rows = _ranked(total, k).collect()
+        phases["prune_decode_score"] = round(_time.time() - _t0, 3)
         if stats_out is not None:
+            _t0 = _time.time()
             n_total = qmeta.count()
             n_wide = wide.count()
             n_zones = zstats.count()
             n_zones_surv = surviving_zones.count()
             n_decoded = n_wide + narrow_keep.count()
+            phases["telemetry_counts"] = round(_time.time() - _t0, 3)
             stats_out.update(
                 {
                     "theta": theta,

@@ -72,7 +72,11 @@ def submit(repo: str, zip_path: str, cores_max: int, exec_cores: int, args: argp
         "--conf", "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL=system",
         "--conf", "spark.executorEnv.MALLOC_TRIM_THRESHOLD_=-1",
         "--conf", f"spark.executorEnv.MALLOC_MMAP_THRESHOLD_={1 << 30}",
-        "--conf", "spark.executor.extraJavaOptions=-XX:+UseTransparentHugePages",
+        # -Xms floor = -Xmx: without it each executor heap fault-grows
+        # through this host's slow page-backing path during the measured
+        # runs (and G1 uncommits idle regions between trials, re-faulting
+        # them) — the local-mode legs get the same floor via session.py
+        "--conf", "spark.executor.extraJavaOptions=-XX:+UseTransparentHugePages -Xms12g",
         "--conf", "spark.local.dir=/dev/shm/spark-local-cluster",
         # all executors are on one host: delay scheduling buys nothing and
         # costs up to spark.locality.wait (3s default) per under-preferred
