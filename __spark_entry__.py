@@ -49,6 +49,7 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3
 EMB_DIM, LSH_PLANES, LSH_PROBE = 64, 8, 2
 NEURAL_MIN_SCORE = 0.15
+RESCORE_OVERSAMPLE, RESCORE_PROBE = 4, 3
 IVF_CLUSTERS, IVF_NPROBE = 16, 4
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 
@@ -279,15 +280,14 @@ def q_two_phase_sparse_top10(spark, sf_dir):
 
 
 def _hybrid(spark, sf_dir, normalization, combination):
+    """Both lexical sub-queries scored in ONE postings scan + one
+    (subquery_idx, docID) shuffle (hybrid.fused_bm25_subquery_scores) —
+    never one scan per sub-query. Sub-scores rounded to 6dp pre-top-k so
+    both engines bound and normalize identical inputs."""
     t = _index(spark, sf_dir)
-    per = []
-    for idx, tokens in enumerate([Q_HY_A, Q_HY_B]):
-        s = bm25.bm25_score_all(t.postings, t.doclens, t.term_stats, t.meta, tokens)
-        # round sub-scores so both engines normalize identical inputs
-        per.append(
-            s.select(F.lit(idx).alias("subquery_idx"), "docID", F.round("score", 6).alias("score"))
-        )
-    bounded = hybrid.bounded_subquery_union(per, K)
+    fused = hybrid.fused_bm25_subquery_scores(t, [Q_HY_A, Q_HY_B])
+    rounded = fused.withColumn("score", F.round("score", 6))
+    bounded = hybrid.per_subquery_topk(rounded, K)
     normalized = hybrid.normalize_scores(bounded, normalization)
     combined = hybrid.combine_scores(normalized, 2, combination)
     return _ranked(combined.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
@@ -344,11 +344,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 def q_lsh_jaccard_verified(spark, sf_dir):
     """The full near-dup scale pipeline: MinHash-LSH candidate pairs →
     candidate-first n-gram Jaccard verification (doc scan pruned to
-    candidate ids; no quadratic shingle self-join anywhere)."""
+    candidate ids; no quadratic shingle self-join anywhere). The corpus is
+    tokenized/shingled ONCE — the persisted shingle frame feeds both the
+    MinHash signatures and the Jaccard verify."""
     docs = _docs(spark, sf_dir)
-    cand = ops.minhash_lsh_pairs(docs, n=JACCARD_N, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    sh = ops.doc_shingles(docs, n=JACCARD_N).persist()
+    cand = ops.minhash_lsh_pairs(
+        docs, n=JACCARD_N, num_hashes=MINHASH_K, bands=MINHASH_BANDS, shingles=sh
+    )
     return ops.ngram_jaccard_pairs(
-        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD, candidates=cand
+        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD, candidates=cand, shingles=sh
     )
 
 
@@ -510,9 +515,8 @@ def q_neural_radial(spark, sf_dir):
     similarity ≥ the threshold, unranked and unbounded
     (NeuralQueryBuilder.java:300-354 radial search params)."""
     eng = _neural_engine(spark, sf_dir)
-    scored = eng._score(
-        {"neural": {"embedding": {"query_vector": _qvec(spark, sf_dir), "min_score": NEURAL_MIN_SCORE}}},
-        None,
+    scored = eng.score(
+        {"neural": {"embedding": {"query_vector": _qvec(spark, sf_dir), "min_score": NEURAL_MIN_SCORE}}}
     )
     return scored.select(F.col("docID").alias("doc_id"), F.round("score", 6).alias("score"))
 
@@ -572,6 +576,50 @@ def q_query_with_aggs(spark, sf_dir):
         k=K,
     )
     return aggs["by_lang"]
+
+
+def q_hybrid_with_aggs(spark, sf_dir):
+    """Aggregations composed with a HYBRID query — the
+    HybridAggregationProcessor case (search/query/HybridAggregationProcessor
+    .java:31-65): the terms agg runs over the UNION of the sub-queries'
+    match sets (ONE fused postings scan for the lexical sub-queries, see
+    QueryEngine._match_set), NOT over the hybrid top-k hit list."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"hybrid": {"queries": [
+            {"match": {"text": {"query": "spark stream"}}},
+            {"match": {"text": {"query": "customer vector batch"}}},
+        ]}},
+        {"by_lang": {"terms": {"field": "lang"}}},
+        k=K,
+    )
+    return aggs["by_lang"]
+
+
+def q_neural_rescore_top10(spark, sf_dir):
+    """`neural` query with the rescore/oversampling knob (rescoreContext,
+    query/NeuralQueryBuilder.java:106-107): sign-LSH probe → coarse window
+    of k × oversample_factor candidates (bucket-hamming ranked) → exact
+    cosine re-rank to k. pytest asserts the rescored result equals the
+    exact full-scan top-k at a recall-sufficient window; the driver oracle
+    mirrors the probe/window deterministically at any sf."""
+    eng = _neural_engine(spark, sf_dir)
+    res = eng.search(
+        {"neural": {"embedding": {
+            "query_vector": _qvec(spark, sf_dir), "k": K,
+            "rescore": {
+                "oversample_factor": RESCORE_OVERSAMPLE,
+                "n_planes": LSH_PLANES,
+                "probe_hamming": RESCORE_PROBE,
+            },
+        }}},
+        k=K,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_nested_roundtrip_tokens(spark, sf_dir):
@@ -910,6 +958,55 @@ def _oracle_ivf_cosine() -> str:
   {_sql_rank("scored", "cosine", "vec_id", K)}"""
 
 
+def _oracle_hybrid_aggs() -> str:
+    terms = sorted(set(Q_HY_A) | set(Q_HY_B))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""with toks as ({SQL_TOKS})
+  select d.lang as key, count(*)::BIGINT as doc_count
+  from documents d
+  where d.doc_id in (select doc_id from toks where term in ({in_list}))
+  group by 1"""
+
+
+def _oracle_neural_rescore() -> str:
+    """Mirror of the LSH-probe → hamming-ranked window → exact-cosine
+    re-rank pipeline (deterministic at any sf; exactness at sufficient
+    window is asserted separately in pytest against the full scan)."""
+    from neural_search_spark.ops.similarity import _plane_matrix
+
+    mat = _plane_matrix(EMB_DIM, LSH_PLANES)
+
+    def bucket_expr(vec: str) -> str:
+        parts = []
+        for p in range(LSH_PLANES):
+            arr = "[" + ",".join(str(int(v)) for v in mat[p]) + "]::DOUBLE[]"
+            parts.append(
+                f"(case when list_dot_product({vec}, {arr}) >= 0 then 1::BIGINT else 0::BIGINT end << {p})"
+            )
+        return "(" + " + ".join(parts) + ")"
+
+    window = K * RESCORE_OVERSAMPLE
+    return f"""
+  with q as (select embedding::DOUBLE[] as qe, {bucket_expr('embedding::DOUBLE[]')} as qb
+             from embeddings where vec_id = 1),
+  bucketed as (
+    select vec_id, embedding::DOUBLE[] as e, {bucket_expr('embedding::DOUBLE[]')} as b
+    from embeddings
+  ),
+  cand as (
+    select vec_id, e, bit_count(xor(b, qb))::BIGINT as ham
+    from bucketed, q where bit_count(xor(b, qb)) <= {RESCORE_PROBE}
+  ),
+  win as (select vec_id, e from cand order by ham asc, vec_id asc limit {window}),
+  scored as (
+    select vec_id as doc_id,
+           round(list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) as score
+    from win, q
+  )
+  {_sql_rank("scored", "score", "doc_id", K)}"""
+
+
 def _oracle_lsh_cosine() -> str:
     """DuckDB mirror of the sign-LSH probe + exact cosine rerank. The ±1
     plane coefficients are md5-derived and deterministic, so they are
@@ -970,7 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
         "neural_top10": q_neural_top10,
         "neural_radial": q_neural_radial,
+        "neural_rescore_top10": q_neural_rescore_top10,
         "hybrid_neural_match": q_hybrid_neural_match,
+        "hybrid_with_aggs": q_hybrid_with_aggs,
         "rerank_by_field": q_rerank_by_field,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1048,7 +1147,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_minmax_harmonic": _oracle_hybrid("min_max", "harmonic_mean"),
         "neural_top10": _oracle_neural_top10(),
         "neural_radial": _oracle_neural_radial(),
+        "neural_rescore_top10": _oracle_neural_rescore(),
         "hybrid_neural_match": _oracle_hybrid_neural(),
+        "hybrid_with_aggs": _oracle_hybrid_aggs(),
         "rerank_by_field": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},
   topk as ({_sql_rank("scored", "score", "doc_id", K)})
   select row_number() over (order by d.n_chars desc, t.doc_id asc)::BIGINT as rank,

@@ -52,19 +52,25 @@ def synthesize_transcripts(
     partitions: int | None = None,
     min_tokens: int | None = None,
     burstiness: float = 0.0,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Deterministic transcripts DataFrame; ~tokens_per_turn Zipf tokens per
     turn + one unique token per turn. Pure column expressions — the text for
     global row i is a function of (i, seed) only, independent of partitioning.
 
-    Defaults reproduce the original fixture byte-for-byte. Two optional
+    Defaults reproduce the original fixture byte-for-byte. Three optional
     realism knobs (for block-max pruning benchmarks, where per-block score
     variance matters):
     - `min_tokens`: per-turn token count varies deterministically in
       [min_tokens, tokens_per_turn] → document-length variance → BM25
       length-norm variance across posting blocks;
     - `burstiness` p: each non-leading slot repeats the turn's first word
-      with probability ~p → heavy within-doc term repetition → tf variance.
+      with probability ~p → heavy within-doc term repetition → tf variance;
+    - `vocab_size` V: replaces the 70-word fixture vocabulary with synthetic
+      terms w1..wV drawn Zipf(s≈1) via inverse-CDF (rank = ⌊exp(u·lnV)⌋) —
+      a realistic rank-frequency law with a deep idf spread (the fixture
+      vocabulary is bimodal: every term is effectively a head term, which
+      makes multi-term block-max pruning trivially 0%).
     """
     n = n_convs * turns_per_conv
     df = spark.range(0, n, 1, numPartitions=partitions or spark.sparkContext.defaultParallelism)
@@ -79,9 +85,20 @@ def synthesize_transcripts(
     words = []
     for j in range(tokens_per_turn):
         h = F.abs(F.hash(i * F.lit(2654435761), F.lit(j), F.lit(seed)))
-        # map uniform h to Zipf-like rank: rank = h % (1 + h % v) biases low ranks
-        rank = (h % (F.lit(1) + (h % v))) % v
-        word = F.element_at(F.array(*[F.lit(w) for w in VOCAB]), rank + 1)
+        if vocab_size is not None:
+            import math as _math
+
+            # Zipf(s≈1) inverse-CDF over w1..wV: u uniform in [0,1) →
+            # rank = ⌊exp(u·lnV)⌋ has P(rank=r) ≈ 1/(r·lnV)
+            u = (h % F.lit(1 << 24)).cast("double") / F.lit(float(1 << 24))
+            rank = F.least(
+                F.lit(vocab_size), F.floor(F.exp(u * F.lit(_math.log(vocab_size)))).cast("long")
+            )
+            word = F.format_string("w%d", rank)
+        else:
+            # map uniform h to Zipf-like rank: rank = h % (1 + h % v) biases low ranks
+            rank = (h % (F.lit(1) + (h % v))) % v
+            word = F.element_at(F.array(*[F.lit(w) for w in VOCAB]), rank + 1)
         if burstiness > 0.0 and j > 0:
             hb = F.abs(F.hash(i * F.lit(97), F.lit(j), F.lit(seed), F.lit(1315423911)))
             word = F.when((hb % 1000) < int(burstiness * 1000), words[0]).otherwise(word)

@@ -71,6 +71,74 @@ def shard_col(term_col) -> F.Column:
     return F.pmod(F.xxhash64(term_col), F.lit(N_SHARDS)).cast("int")
 
 
+# -- driver-side shard computation (no Spark job) ---------------------------
+# Pure-Python XXH64 (public reference algorithm, seed 42 = Spark's
+# xxhash64 default) so query planning can turn a term list into a shard
+# IN-list without launching a tiny Spark job per query. Parity with
+# F.xxhash64 is pinned by tests/test_segments.py.
+
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """XXH64(data, seed) as a SIGNED 64-bit int, matching F.xxhash64 on a
+    string's UTF-8 bytes."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
+        v3, v4 = seed & _M64, (seed - _P1) & _M64
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (_rotl((v + lane * _P2) & _M64, 31) * _P1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M64, 31) * _P1) & _M64)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def shard_of(term: str) -> int:
+    """Driver-side mirror of shard_col (python % matches Spark pmod for
+    negative hashes)."""
+    return xxhash64_py(term.encode("utf-8")) % N_SHARDS
+
+
 def _binary_array(cum_offsets: np.ndarray, bstart: np.ndarray, n_rows: int, data: bytes):
     """Zero-copy Arrow binary column: block i's bytes are
     data[cum_offsets[bstart[i]] : cum_offsets[bstart[i+1]]]. Blocks are
@@ -82,6 +150,16 @@ def _binary_array(cum_offsets: np.ndarray, bstart: np.ndarray, n_rows: int, data
     bounds = np.empty(len(bstart) + 1, dtype=np.int64)
     bounds[:-1] = cum_offsets[bstart]
     bounds[-1] = cum_offsets[n_rows]
+    # pa.binary() carries int32 offsets; a ≥2 GiB encoded stream in one
+    # chunk (possible with a huge postings_per_salt override — the pending
+    # tail group accumulates across Arrow batches unbounded) would silently
+    # wrap the offsets and corrupt posting blocks. Fail loudly instead.
+    if bounds[-1] >= (1 << 31):
+        raise ValueError(
+            f"encoded posting chunk is {bounds[-1]} bytes, overflowing int32 "
+            "binary offsets — lower postings_per_salt so no (term, salt) "
+            "group's encoded bytes reach 2 GiB"
+        )
     return pa.Array.from_buffers(
         pa.binary(),
         len(bstart),

@@ -49,16 +49,27 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct pairs."""
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs. Public so a pipeline running several
+    shingle consumers (MinHash-LSH candidates + Jaccard verify) can
+    tokenize/shingle the corpus ONCE, persist, and pass the frame to each
+    via their `shingles` parameter."""
     return (
         df.select(F.col(id_col).alias("id"), F.explode(shingle_col(tokenize_col(text_col), n)).alias("shingle"))
         .distinct()
     )
 
 
+_doc_shingles = doc_shingles  # internal alias (signature kept positional below)
+
+
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) MinHash signature.
 
@@ -70,10 +81,17 @@ def minhash_signature(
     AND k string concats per shingle — the former hot path of the whole LSH
     pipeline. h2 is clamped to 58 bits so h1 + j·h2' stays within int64 for
     k ≤ 16 (DuckDB raises on BIGINT overflow; Spark would wrap silently).
-    k min-aggregates over one explode — no cross-join row blowup."""
+    k min-aggregates over one explode — no cross-join row blowup.
+
+    FORMAT NOTE: this family replaced the earlier one-salted-md5-per-hash
+    family — signature values (and therefore LSH band keys) are NOT
+    comparable with signatures persisted by that version; re-signature the
+    corpus rather than mixing. If k > 16 is ever needed, derive additional
+    independent 58-bit words from unused digest hex (or a second digest of
+    shingle||'#2') instead of lifting the cap."""
     if num_hashes > 16:
         raise ValueError("num_hashes must be <= 16 (int64 overflow headroom)")
-    sh = _doc_shingles(df, text_col, id_col, n)
+    sh = shingles if shingles is not None else _doc_shingles(df, text_col, id_col, n)
     digest = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long") % F.lit(1 << 58)
@@ -92,14 +110,27 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    shingles: DataFrame | None = None,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that agree on ≥1 LSH band.
     rows-per-band = num_hashes/bands; band key = md5 of the band's minhash
     values. The self-join is per-bucket; buckets are tiny unless the corpus
-    has true heavy duplication (then AQE skew-join splits them)."""
+    has true heavy duplication (then AQE skew-join splits them).
+
+    Giant-bucket guard: a bucket of m near-identical docs yields m·(m-1)/2
+    pairs — at 100 TB a 10⁶-duplicate cluster (exactly what dedup targets)
+    would both blow up the pair output quadratically AND build a
+    10⁶-element array in one aggregation buffer. Buckets larger than
+    `max_bucket` therefore emit STAR pairs only — (bucket-min-id, other)
+    for every member, linear rows, no array ever materialized — which
+    preserves single-linkage duplicate-cluster connectivity (every member
+    still reaches the representative) at the cost of the non-representative
+    pairwise edges; full all-pairs output is kept for buckets ≤ max_bucket.
+    """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes, shingles=shingles)
     band_keys = [
         F.md5(F.concat_ws(",", *[F.col(f"mh_{b * r + i}").cast("string") for i in range(r)]))
         for b in range(bands)
@@ -107,15 +138,22 @@ def minhash_lsh_pairs(
     # ONE pass over the signatures: posexplode the band keys (a self-join on
     # a banded view would recompute the minhash pipeline once per side)
     banded = sig.select("id", F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
-    # pair generation bucket-side: buckets are tiny (near-dup clusters), so
-    # collect ids per bucket and emit ordered pairs — a single shuffle on
-    # (band, band_key), no second scan of the signatures
-    grouped = (
-        banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .where(F.size("ids") > 1)
+    # pair generation bucket-side, one shuffle on (band, band_key): the
+    # bucket size/representative come from an unbounded window over that
+    # key, and the small-bucket groupBy reuses the same hash partitioning
+    # (no second exchange)
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "band_key")
+    marked = banded.withColumn("_cnt", F.count("*").over(wb)).withColumn(
+        "_rep", F.min("id").over(wb)
     )
-    pairs = grouped.select(
+    small = (
+        marked.where((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    )
+    small_pairs = small.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -127,8 +165,11 @@ def minhash_lsh_pairs(
                 )
             )
         ).alias("p")
-    )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    ).select("p.id_a", "p.id_b")
+    star_pairs = marked.where(
+        (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -138,8 +179,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    `shingles` (id, shingle — from doc_shingles, ideally persisted) lets a
+    caller that already shingled the corpus for LSH skip re-tokenizing it
+    here; with `candidates` it is narrowed to candidate ids the same way
+    the doc scan would be.
 
     With `candidates` (id_a, id_b) — normally the LSH output — the plan is
     CANDIDATE-FIRST (the scale path): the document scan itself is restricted
@@ -150,6 +197,7 @@ def ngram_jaccard_pairs(
     10^6 non-candidate docs contributes nothing. Without `candidates` this
     is the exact-but-quadratic all-pairs variant for small corpora only —
     never run it raw at 10^12 docs."""
+    cand = None
     if candidates is not None:
         cand = candidates.select("id_a", "id_b").where(F.col("id_a") < F.col("id_b")).distinct()
         ids = (
@@ -159,7 +207,12 @@ def ngram_jaccard_pairs(
         )
         # prune the expensive tokenize/shingle scan to candidate docs
         df = df.join(ids, id_col, "left_semi")
-    sh = _doc_shingles(df, text_col, id_col, n)
+    if shingles is not None:
+        sh = shingles
+        if cand is not None:
+            sh = sh.join(ids.withColumnRenamed(id_col, "id"), "id", "left_semi")
+    else:
+        sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -218,6 +271,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — near-dup pairs whose SimHash signatures are
     within `max_hamming` bits.
@@ -228,7 +282,12 @@ def simhash_pairs(
     candidates = pairs sharing a (band, band_value) bucket — one shuffle on
     the band key, pair generation bucket-side, then an exact
     bit_count(xor) verify. No all-pairs join anywhere; completeness (no
-    missed pair) is guaranteed, not probabilistic."""
+    missed pair) is guaranteed, not probabilistic — EXCEPT in buckets
+    larger than `max_bucket`, which emit star pairs against the bucket's
+    min-id member only (linear rows, no giant aggregation array; see
+    minhash_lsh_pairs — same guard, same single-linkage-clustering
+    rationale). Star pairs still pass the exact hamming verify, so no
+    false pair is ever emitted."""
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
     if not 0 <= max_hamming < bands:
@@ -244,12 +303,18 @@ def simhash_pairs(
     banded = sig.select(
         "id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "bv")
     )
-    grouped = (
-        banded.groupBy("band", "bv")
-        .agg(F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("rows"))
-        .where(F.size("rows") > 1)
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bv")
+    marked = banded.withColumn("_cnt", F.count("*").over(wb)).withColumn(
+        "_rep", F.min(F.struct("id", "simhash")).over(wb)
     )
-    pairs = grouped.select(
+    small = (
+        marked.where((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
+        .groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("rows"))
+    )
+    small_pairs = small.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -265,9 +330,16 @@ def simhash_pairs(
                 )
             )
         ).alias("p")
+    ).select("p.id_a", "p.id_b", F.col("p.hamming").cast("long").alias("hamming"))
+    star_pairs = marked.where(
+        (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_rep.id"))
+    ).select(
+        F.col("_rep.id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.bit_count(F.col("_rep.simhash").bitwiseXOR(F.col("simhash"))).cast("long").alias("hamming"),
     )
     return (
-        pairs.select("p.id_a", "p.id_b", F.col("p.hamming").cast("long").alias("hamming"))
+        small_pairs.unionByName(star_pairs)
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )

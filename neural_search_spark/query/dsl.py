@@ -203,7 +203,7 @@ class QueryEngine:
             return sparse_scores(weights_df, tokens, quantize=True)
 
         if kind == "neural":
-            return self._score_neural(body, prefilter)
+            return self._score_neural(body, prefilter, k=k)
 
         if kind == "hybrid":
             raise QueryValidationError(
@@ -212,7 +212,9 @@ class QueryEngine:
 
         raise QueryValidationError(f"unknown query kind: {kind}")
 
-    def _score_neural(self, body: dict, prefilter: DataFrame | None) -> DataFrame:
+    def _score_neural(
+        self, body: dict, prefilter: DataFrame | None, k: int = 10
+    ) -> DataFrame:
         """Dense `neural` query → (docID, score). Reference semantics
         (query/NeuralQueryBuilder.java:86,300-354): k defaults to 10 and is
         mutually exclusive with the radial params max_distance / min_score;
@@ -221,6 +223,15 @@ class QueryEngine:
         cosine fold over the embeddings table (ops.similarity), bounded by
         TakeOrderedAndProject in k-mode; at scale swap the embeddings input
         for an lsh_index-bucketed table and pre-filter with probe_buckets.
+
+        `rescore` (k-mode only) is the reference's rescoreContext
+        oversampling knob (query/NeuralQueryBuilder.java:106-107,300-354):
+        the ANN stage retrieves k × oversample_factor candidates from the
+        LSH probe set (the `bucket` column built by ops.similarity
+        .lsh_index, or computed on the fly), then the final exact cosine
+        re-rank keeps k. At scale the probe is an IN-list partition filter
+        over the bucketed table, so the exact fold touches only the
+        oversampled window — not the corpus.
         """
         from neural_search_spark.ops.similarity import _dot, _norm
 
@@ -253,6 +264,13 @@ class QueryEngine:
             emb = emb.join(fdf, "docID", "left_semi")
         if prefilter is not None:
             emb = emb.join(prefilter, "docID", "left_semi")
+        if "rescore" in spec:
+            if modes and "k" not in spec:
+                raise QueryValidationError(
+                    "rescore requires k-mode (radial search has no candidate window)"
+                )
+            kk = int(spec.get("k", 10))
+            return self._neural_rescore(emb, qv, spec["rescore"], kk, boost)
         q = F.array(*[F.lit(float(x)) for x in qv])
         cos = _dot(F.col("_vec"), q) / (_norm(F.col("_vec")) * _norm(q))
         scored = emb.select("docID", cos.alias("_cos"))
@@ -266,6 +284,142 @@ class QueryEngine:
             out = out.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(kk)
         return out
 
+    def _neural_rescore(
+        self, emb: DataFrame, qv: list, rescore: dict, k: int, boost: float
+    ) -> DataFrame:
+        """Oversample-then-exact-re-rank ANN (rescoreContext analog):
+        stage 1 probes the sign-LSH buckets within `probe_hamming` bit
+        flips of the query bucket and keeps the k × oversample_factor
+        coarsest-ranked candidates (bucket hamming asc, docID asc — the
+        cheap approximate ordering; at scale the probe is a partition
+        IN-list over a pre-bucketed table); stage 2 computes the exact
+        cosine only on that window and keeps k. oversample_factor bounds
+        follow the reference (RescoreContext 1.0..100.0)."""
+        from neural_search_spark.ops.similarity import (
+            _dot,
+            _norm,
+            lsh_bucket_col,
+            probe_buckets,
+            query_bucket,
+        )
+
+        over = float(rescore.get("oversample_factor", 1.0))
+        if not 1.0 <= over <= 100.0:
+            raise QueryValidationError(
+                "oversample_factor must be in [1.0, 100.0] (RescoreContext bounds)"
+            )
+        import math
+
+        n_planes = int(rescore.get("n_planes", 8))
+        probe_hamming = int(rescore.get("probe_hamming", 2))
+        window = max(math.ceil(k * over), k)
+        qb = query_bucket([float(x) for x in qv], n_planes)
+        bucket = (
+            F.col("bucket")
+            if "bucket" in emb.columns
+            else lsh_bucket_col(F.col("_vec"), len(qv), n_planes)
+        )
+        probes = probe_buckets(qb, n_planes, probe_hamming)
+        cand = (
+            emb.withColumn("_b", bucket)
+            .where(F.col("_b").isin(probes))
+            .withColumn(
+                "_ham", F.bit_count(F.col("_b").cast("long").bitwiseXOR(F.lit(qb).cast("long")))
+            )
+        )
+        windowed = cand.orderBy(F.col("_ham").asc(), F.col("docID").asc()).limit(window)
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        cos = _dot(F.col("_vec"), q) / (_norm(F.col("_vec")) * _norm(q))
+        exact = windowed.select("docID", (cos * F.lit(boost)).alias("score"))
+        return exact.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k)
+
+    def score(self, query: dict, k: int = 10) -> DataFrame:
+        """Public unranked scoring surface → (docID, score): validates and
+        scores a non-hybrid DSL query WITHOUT top-k truncation or rank
+        assignment — the radial-search return shape (a `neural` query in
+        min_score / max_distance mode returns every doc past the threshold,
+        unranked and unbounded; NeuralQueryBuilder.java:300-354). For
+        ranked retrieval use search(); for hybrid use search() (hybrid has
+        no unranked form — its scores only exist after normalization)."""
+        (kind,) = query.keys()
+        if kind == "hybrid":
+            raise QueryValidationError(
+                "hybrid has no unranked scoring surface — use search()"
+            )
+        return self._score(query, None, k=k)
+
+    def _validate_hybrid(self, body: dict) -> list[dict]:
+        subs = body.get("queries", [])
+        if not 1 <= len(subs) <= MAX_SUBQUERIES:
+            raise QueryValidationError(
+                f"hybrid supports 1..{MAX_SUBQUERIES} sub-queries (HybridQueryBuilder.java:56)"
+            )
+        if "boost" in body and float(body["boost"]) != 1.0:
+            raise QueryValidationError(
+                "hybrid query does not support boost (HybridQueryBuilder.java:64-66)"
+            )
+        for sub in subs:
+            if next(iter(sub)) == "hybrid":
+                raise QueryValidationError("hybrid cannot nest hybrid")
+        return subs
+
+    @staticmethod
+    def _lexical_weights(sub: dict) -> dict[str, float] | None:
+        """If `sub` is a plain lexical query (match/term, no bool wrapper),
+        its BM25 term-weight dict; else None. Used to route all-lexical
+        hybrids through the single-scan fused scorer."""
+        (kind,) = sub.keys()
+        body = sub[kind]
+        if kind == "match":
+            _, spec = _single_field(body, "match")
+            boost = float(spec.get("boost", 1.0))
+            return {t: float(m) * boost for t, m in Counter(tokenize_py(spec["query"])).items()}
+        if kind == "term":
+            _, spec = _single_field(body, "term")
+            return {str(spec["value"]): float(spec.get("boost", 1.0))}
+        return None
+
+    def _hybrid_subquery_scores(self, body: dict, k: int) -> DataFrame:
+        """(subquery_idx, docID, score) for every hybrid sub-query.
+
+        All-lexical hybrids take the FUSED path: one IN-list-pushed postings
+        scan + one (subquery_idx, docID) shuffle scores every sub-query
+        (hybrid.fused_bm25_subquery_scores) — n separate bm25_score_all
+        calls would scan the postings n times at corpus scale. Mixed
+        lexical/neural hybrids score each non-lexical sub-query on its own
+        source; the lexical subset still shares one fused scan."""
+        subs = self._validate_hybrid(body)
+        sub_k = body.get("subquery_k", k)
+        lex = [(idx, self._lexical_weights(sub)) for idx, sub in enumerate(subs)]
+        fused_idx = [(idx, w) for idx, w in lex if w is not None]
+        per = []
+        if len(fused_idx) >= 2:
+            fused = hybrid_mod.fused_bm25_subquery_scores(
+                self.tables, [w for _, w in fused_idx]
+            )
+            # remap positional fused indexes back to the sub-query slots
+            mapping = F.array(*[F.lit(idx) for idx, _ in fused_idx])
+            fused = fused.select(
+                F.element_at(mapping, F.col("subquery_idx") + 1).alias("subquery_idx"),
+                "docID",
+                "score",
+            )
+            per.append(hybrid_mod.per_subquery_topk(fused, sub_k))
+            rest = [(idx, sub) for idx, sub in enumerate(subs) if lex[idx][1] is None]
+        else:
+            rest = list(enumerate(subs))
+        for idx, sub in rest:
+            s = self._score(sub, None, in_hybrid=True, k=sub_k)
+            per.append(
+                hybrid_mod.bounded_subquery_union(
+                    [s.select(F.lit(idx).alias("subquery_idx"), "docID", "score")], sub_k
+                )
+            )
+        union = per[0]
+        for p in per[1:]:
+            union = union.unionByName(p)
+        return union
+
     def search(
         self,
         query: dict,
@@ -273,6 +427,7 @@ class QueryEngine:
         post_filter: dict | None = None,
         sort: list[tuple[str, str]] | None = None,
         search_after: list | None = None,
+        from_: int = 0,
     ) -> DataFrame:
         """Execute a DSL query → (rank, docID, score).
 
@@ -288,31 +443,33 @@ class QueryEngine:
         element. The reference's PagingFieldCollector skips doc <= afterDoc
         only when every sort key ties (PagingFieldCollector.java:88-95), so
         a cursor that includes the docID pages through sort-key ties instead
-        of silently skipping them."""
+        of silently skipping them.
+
+        `from_` is the offset analog; the reference REJECTS nonzero from
+        for hybrid queries (HybridQueryPhaseSearcher.java:51-73) and so do
+        we; for non-hybrid queries the first `from_` ranked hits are
+        skipped (ranks renumber from 1, as a paging client expects)."""
         (kind,) = query.keys()
+        if from_ < 0:
+            raise QueryValidationError("from_ must be >= 0")
         if kind == "hybrid":
-            body = query[kind]
-            subs = body.get("queries", [])
-            if not 1 <= len(subs) <= MAX_SUBQUERIES:
+            if from_ != 0:
                 raise QueryValidationError(
-                    f"hybrid supports 1..{MAX_SUBQUERIES} sub-queries (HybridQueryBuilder.java:56)"
+                    "hybrid query does not support nonzero from "
+                    "(HybridQueryPhaseSearcher.java:51-73) — use search_after"
                 )
-            if "boost" in body and float(body["boost"]) != 1.0:
-                raise QueryValidationError("hybrid query does not support boost (HybridQueryBuilder.java:64-66)")
-            per = []
-            for idx, sub in enumerate(subs):
-                if next(iter(sub)) == "hybrid":
-                    raise QueryValidationError("hybrid cannot nest hybrid")
-                s = self._score(sub, None, in_hybrid=True, k=body.get("subquery_k", k))
-                per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
-            # each sub-query bounded by TakeOrderedAndProject before the
-            # union — the reference's per-sub-query bounded heap
-            # (HybridTopScoreDocCollector.java:126-133); no per-subquery
-            # global sort anywhere in the plan
-            bounded = hybrid_mod.bounded_subquery_union(per, body.get("subquery_k", k))
+            body = query[kind]
+            # per-sub-query results bounded by top-k BEFORE the union — the
+            # reference's per-sub-query bounded heap (HybridTopScoreDoc
+            # Collector.java:126-133); all-lexical sub-queries share ONE
+            # fused postings scan (see _hybrid_subquery_scores)
+            bounded = self._hybrid_subquery_scores(body, k)
             normalized = hybrid_mod.normalize_scores(bounded, body.get("normalization", "min_max"))
             scored = hybrid_mod.combine_scores(
-                normalized, len(subs), body.get("combination", "arithmetic_mean"), body.get("weights")
+                normalized,
+                len(body.get("queries", [])),
+                body.get("combination", "arithmetic_mean"),
+                body.get("weights"),
             )
         else:
             scored = self._score(query, None, k=k)
@@ -368,12 +525,18 @@ class QueryEngine:
 
             w = Window.orderBy(*order)
             result = (
-                joined.orderBy(*order).limit(k)
+                joined.orderBy(*order).limit(from_ + k)
                 .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") > from_)
+                .withColumn("rank", F.col("rank") - F.lit(from_))
                 .select("rank", "docID", "score", *[c for c, _ in sort])
             )
         else:
-            result = topk(scored, k)
+            result = topk(scored, from_ + k)
+            if from_:
+                result = result.where(F.col("rank") > from_).withColumn(
+                    "rank", F.col("rank") - F.lit(from_)
+                )
         return result
 
     def search_json(self, query_json: str, **kwargs) -> DataFrame:
@@ -390,6 +553,36 @@ class QueryEngine:
             raise QueryValidationError("query JSON must be an object")
         return self.search(query, **kwargs)
 
+    def _match_set(self, query: dict) -> DataFrame:
+        """(docID) distinct match set of a query — the doc set aggregations
+        and total-hit counting run over (HybridAggregationProcessor.java:
+        31-65: aggs see the query's FULL match set, not the top-k).
+
+        For a hybrid query the match set is the UNION of the sub-queries'
+        match sets. All-lexical hybrids need only ONE postings scan: a doc
+        matches some sub-query iff it contains ≥1 term of the combined
+        term set, so the union collapses to a single IN-list-pushed scan +
+        distinct — no per-sub-query scoring at all. Mixed hybrids union
+        each non-lexical sub-query's scored doc set on top."""
+        (kind,) = query.keys()
+        if kind != "hybrid":
+            return self._score(query, None).select("docID")
+        subs = self._validate_hybrid(query[kind])
+        lex = [(idx, self._lexical_weights(sub)) for idx, sub in enumerate(subs)]
+        parts = []
+        all_terms = sorted({t for _, w in lex if w is not None for t in w})
+        if all_terms:
+            parts.append(
+                self.tables.postings.where(F.col("term").isin(all_terms)).select("docID")
+            )
+        for idx, sub in enumerate(subs):
+            if lex[idx][1] is None:
+                parts.append(self._score(sub, None, in_hybrid=True).select("docID"))
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        return union.distinct()
+
     def count_hits(self, query: dict, track_total_hits: int = 10_000) -> tuple[int, str]:
         """Total-hit counting with a threshold relation — the deterministic
         analog of the reference's early-terminated counting
@@ -398,11 +591,12 @@ class QueryEngine:
         track_total_hits, else (track_total_hits, 'gte'). The scan is
         bounded by limit(threshold+1) — Catalyst pushes the limit, so the
         count never materializes more than threshold+1 rows per partition.
-        """
+        Composes with hybrid queries (counts the union of sub-query match
+        sets, matching the reference's hybrid total-hits semantics)."""
         if track_total_hits < 0:
             raise QueryValidationError("track_total_hits must be >= 0")
-        scored = self._score(query, None)
-        n = scored.limit(track_total_hits + 1).count()
+        matched = self._match_set(query)
+        n = matched.limit(track_total_hits + 1).count()
         if n > track_total_hits:
             return track_total_hits, "gte"
         return n, "eq"
@@ -429,10 +623,15 @@ class QueryEngine:
 
         Returns (hits, {agg_name: DataFrame}). Each agg is a native
         Catalyst hash-agg over matching docs (partial + final).
+
+        Composes with HYBRID queries — the HybridAggregationProcessor case:
+        aggs run over the union of the sub-queries' match sets (one fused
+        postings scan for the lexical subset, see _match_set), while the
+        hit list is the normalized/combined hybrid top-k.
         """
-        scored = self._score(query, None)
+        matched = self._match_set(query)
         match_docs = self.docs.join(
-            scored.select(F.col("docID").alias("_match_id")),
+            matched.select(F.col("docID").alias("_match_id")),
             self.docs[self.id_col] == F.col("_match_id"),
             "left_semi",
         )

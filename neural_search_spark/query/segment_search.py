@@ -91,14 +91,28 @@ def wand_topk(
     seed_blocks: int = 32,
     zone_width: int = 1024,
     wide_cap: int = 64,
+    no_prune_blocks: int = 512,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """(rank, docID, score) exact BM25 top-k over the segment table.
 
     `prune=False` decodes every block of every query term (the correctness
     baseline the pruned path is asserted against). `stats_out`, if given, is
-    filled with pruning telemetry: total/surviving/rescued block counts and
-    the seeded θ."""
+    filled with pruning telemetry: total/surviving block counts and the
+    seeded θ.
+
+    Fixed-floor design (the part that dominates at query time): the whole
+    plan runs in THREE Spark jobs — (A) one tiny aggregate over the
+    persisted block metadata that yields per-term df (Σ n over the term's
+    blocks — exact, no term_stats scan), total block count, and the
+    wide-block gmax constants in a single collect; (B) the θ-seed
+    decode+top-k; (C) the final prune→decode→score→top-k. Shard partition
+    values are computed driver-side (segments.shard_of, a pure-Python
+    XXH64) — no Spark job. When the query's total block count is ≤
+    `no_prune_blocks`, the θ/zone machinery is skipped entirely and the
+    blocks are decoded outright (2 jobs) — pruning a handful of blocks
+    costs more in job latency than the decode it saves. `term_stats` is
+    accepted for API compatibility but never scanned."""
     import time as _time
 
     spark = segments.sparkSession
@@ -107,62 +121,91 @@ def wand_topk(
     phases: dict[str, float] = {}
     if stats_out is not None:
         stats_out["phase_sec"] = phases
-    _t0 = _time.time()
-
-    # w_idf per query term: tiny collect of q rows (df lookup), like the
-    # reference's per-term TermStatistics fetch at query start
     q_terms = sorted(terms)
-    stats = {
-        r["term"]: r["df"]
-        for r in term_stats.where(F.col("term").isin(q_terms)).collect()
-    }
-    phases["df_lookup"] = round(_time.time() - _t0, 3)
-    w_idf = {
-        t: terms[t] * math.log(1.0 + (n_docs - stats[t] + 0.5) / (stats[t] + 0.5))
-        for t in q_terms
-        if t in stats
-    }
-    if not w_idf:
-        return spark.createDataFrame([], "rank long, docID long, score double")
 
     # explicit scan predicates: a broadcast join does NOT push its keys into
     # the parquet reader, so filter term IN (…) for row-group skipping and —
     # when the table carries the shard partition column — shard IN (…) for
     # directory-level partition pruning (shard = hash(term) % N_SHARDS,
-    # computed engine-side so it matches the writer exactly)
+    # computed DRIVER-side via the pure-Python XXH64 mirror so it matches
+    # the writer exactly without a Spark job)
     scan_filter = F.col("term").isin(q_terms)
     if "shard" in segments.columns:
-        from neural_search_spark.index.segments import shard_col
+        from neural_search_spark.index.segments import shard_of
 
-        shard_vals = sorted(
-            {
-                r["s"]
-                for r in spark.createDataFrame([(t,) for t in q_terms], "term string")
-                .select(shard_col(F.col("term")).alias("s"))
-                .collect()
-            }
-        )
+        shard_vals = sorted({shard_of(t) for t in q_terms})
         scan_filter = scan_filter & F.col("shard").isin(shard_vals)
     segments = segments.where(scan_filter)
 
-    widf_df = F.broadcast(
-        spark.createDataFrame([(t, w) for t, w in sorted(w_idf.items())], "term string, w_idf double")
-    )
-    qblocks = segments.join(widf_df, "term").withColumn(
-        "ub", F.col("w_idf") * F.col("max_score_component")
-    )
-
-    if not prune:
-        scored = _decode_and_score(
-            qblocks.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b
-        )
-        return _ranked(scored.groupBy("docID").agg(F.sum("part").alias("score")), k)
-
     # only the metadata columns are persisted — the compressed payloads are
     # re-read lazily by whichever decode actually runs
-    meta_cols = ["term", "salt", "blockID", "first_docID", "last_docID", "ub"]
-    qmeta = qblocks.select(*meta_cols).persist()
+    meta_cols = ["term", "salt", "blockID", "first_docID", "last_docID", "n", "max_score_component"]
+    qmeta = segments.select(*meta_cols).persist()
     try:
+        zlo_c = (F.col("first_docID") / zone_width).cast("long")
+        zhi_c = (F.col("last_docID") / zone_width).cast("long")
+        wide_c = (zhi_c - zlo_c) >= wide_cap
+        _t0 = _time.time()
+        # job A: df per term (exact: each posting sits in exactly one block
+        # of its term), block counts, and the wide-block max score component
+        # — ONE collect replaces the old df-lookup scan, blocks_total count,
+        # and gmax collect
+        agg_rows = (
+            qmeta.groupBy("term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.count("*").alias("nblocks"),
+                F.count(F.when(wide_c, F.lit(1))).alias("nwide"),
+                F.max(F.when(wide_c, F.col("max_score_component"))).alias("wide_max"),
+            )
+            .collect()
+        )
+        phases["plan_agg"] = round(_time.time() - _t0, 3)
+        dfs = {r["term"]: int(r["df"]) for r in agg_rows}
+        w_idf = {
+            t: terms[t] * math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for t in q_terms
+            if t in dfs
+        }
+        if not w_idf:
+            return spark.createDataFrame([], "rank long, docID long, score double")
+        n_total = sum(int(r["nblocks"]) for r in agg_rows)
+        n_wide = sum(int(r["nwide"]) for r in agg_rows)
+        gmax = {
+            r["term"]: w_idf[r["term"]] * float(r["wide_max"])
+            for r in agg_rows
+            if r["wide_max"] is not None
+        }
+        g_const = sum(gmax.values())
+
+        widf_df = F.broadcast(
+            spark.createDataFrame(
+                [(t, w) for t, w in sorted(w_idf.items())], "term string, w_idf double"
+            )
+        )
+        qblocks = segments.join(widf_df, "term").withColumn(
+            "ub", F.col("w_idf") * F.col("max_score_component")
+        )
+
+        if not prune or n_total <= no_prune_blocks:
+            scored = _decode_and_score(
+                qblocks.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b
+            )
+            if stats_out is not None:
+                stats_out.update(
+                    {
+                        "theta": 0.0,
+                        "blocks_total": n_total,
+                        "blocks_surviving": n_total,
+                        "blocks_wide": n_wide,
+                        "zones_total": 0,
+                        "zones_surviving": 0,
+                        "blocks_rescued": 0,
+                        "rescue_candidates": 0,
+                        "pruning_skipped": True,
+                    }
+                )
+            return _ranked(scored.groupBy("docID").agg(F.sum("part").alias("score")), k)
         # seed θ from the `seed_blocks` highest-ub blocks of each term: the
         # k-th best score among their docs lower-bounds the true k-th best,
         # and decoding S·q blocks (~S·q·block_size postings) is noise next
@@ -196,19 +239,19 @@ def wand_topk(
         # more than `wide_cap` zones (rare terms — few blocks, wide docID
         # span) are not exploded: they are always decoded, and their
         # per-term max enters every zone's bound as the constant G.
-        # default zone_width 1024 ≈ 8 head-term blocks per zone
-        zlo = (F.col("first_docID") / zone_width).cast("long")
-        zhi = (F.col("last_docID") / zone_width).cast("long")
-        classified = qmeta.withColumn("_zlo", zlo).withColumn("_zhi", zhi).withColumn(
-            "_wide", (F.col("_zhi") - F.col("_zlo")) >= wide_cap
+        # default zone_width 1024 ≈ 8 head-term blocks per zone.
+        # gmax/g_const were already computed driver-side in job A; qmeta
+        # re-derives per-block ub by the broadcast w_idf join (metadata-only
+        # rows — the payloads never enter the zone machinery)
+        classified = (
+            qmeta.join(widf_df, "term")
+            .withColumn("ub", F.col("w_idf") * F.col("max_score_component"))
+            .withColumn("_zlo", zlo_c)
+            .withColumn("_zhi", zhi_c)
+            .withColumn("_wide", (F.col("_zhi") - F.col("_zlo")) >= wide_cap)
         )
         wide = classified.where(F.col("_wide"))
         narrow = classified.where(~F.col("_wide"))
-        gmax = {
-            r["term"]: r["mx"]
-            for r in wide.groupBy("term").agg(F.max("ub").alias("mx")).collect()
-        }
-        g_const = sum(gmax.values())
         gmax_df = F.broadcast(
             spark.createDataFrame(
                 [(t, gmax.get(t, 0.0)) for t in sorted(w_idf)], "term string, gmx double"
@@ -244,8 +287,6 @@ def wand_topk(
         phases["prune_decode_score"] = round(_time.time() - _t0, 3)
         if stats_out is not None:
             _t0 = _time.time()
-            n_total = qmeta.count()
-            n_wide = wide.count()
             n_zones = zstats.count()
             n_zones_surv = surviving_zones.count()
             n_decoded = n_wide + narrow_keep.count()

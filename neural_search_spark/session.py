@@ -75,7 +75,20 @@ def get_spark(
         # walk. Batch size stays bounded by maxRecordsPerBatch (65536 rows
         # of fixed-width posting columns ≈ 2.4MB), so the byte limit adds
         # nothing here — disable it by pinning the sentinel value.
-        .config("spark.sql.execution.arrow.maxBytesPerBatch", str((1 << 31) - 1))
+        # ASSUMPTION (session-global): every Arrow/pandas UDF hot path in
+        # this engine moves fixed-width or short-string batches; with the
+        # sentinel, a UDF carrying full document text is bounded only by
+        # row count (65536 rows × ~1KB docs ≈ 64MB/batch — fine; 65536 ×
+        # 1MB docs would not be). For sessions feeding very wide
+        # variable-width columns through Python, restore a byte cap via
+        # SPARK_GRAFT_ARROW_MAXBYTES_MB (re-enables the per-row size walk
+        # for THAT session only).
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(int(os.environ["SPARK_GRAFT_ARROW_MAXBYTES_MB"]) * 1024 * 1024)
+            if os.environ.get("SPARK_GRAFT_ARROW_MAXBYTES_MB")
+            else str((1 << 31) - 1),
+        )
         # Finer splits/partitions for CPU-dense stages. Tokenize +
         # tf-counting over a parquet checkpoint costs ~10-100× the per-byte
         # CPU of a plain scan, so byte-sized defaults tuned for thin scans

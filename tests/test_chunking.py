@@ -185,6 +185,7 @@ def test_word_tokenizers_col_matches_py(spark):
         "ünïcödé stays whole?",
         "mail John.Doe+spam@example.co.uk or see https://spark.apache.org/docs?q=1#f",
         "edge@case@double http://x.y a_b-c@d.ee trailing@",
+        "see (https://spark.apache.org/docs). or www.example.com, then http://",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     import duckdb
@@ -207,5 +208,11 @@ def test_word_tokenizers_col_matches_py(spark):
     assert "john.doe+spam@example.co.uk" in uax
     assert "https://spark.apache.org/docs?q=1#f" in uax
     assert tokenize_py(texts[5], "standard") != uax
+    # trailing sentence punctuation is trimmed off the URL token; scheme-less
+    # www. URLs are kept whole; a bare scheme falls through to word tokens
+    uax7 = tokenize_py(texts[7], "uax_url_email")
+    assert "https://spark.apache.org/docs" in uax7
+    assert "www.example.com" in uax7
+    assert not any(t.endswith((")", ".", ",")) for t in uax7)
     with pytest.raises(ValueError, match="not supported"):
         tokenize_col("text", "thai").alias("x")

@@ -97,3 +97,48 @@ def test_lsh_pipeline_end_to_end(spark, dup_docs):
     # every verified pair was a candidate
     cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     assert pairs <= cand_set
+
+
+def test_lsh_giant_bucket_star_guard(spark):
+    """A duplicate cluster larger than max_bucket must complete WITHOUT a
+    cluster-sized array row: the bucket emits star pairs against its min-id
+    member (single-linkage connectivity preserved, linear output)."""
+    n_dup = 10_000
+    rows = [(i, "the same exact duplicated text appears everywhere") for i in range(n_dup)]
+    rows += [(n_dup, "one unrelated document about spark"), (n_dup + 1, "another odd one out")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4, max_bucket=100).collect()
+    assert len(pairs) == n_dup - 1
+    assert all(r["id_a"] == 0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, n_dup))
+
+    spairs = simhash_pairs(df, bits=32, bands=4, max_hamming=3, max_bucket=100).collect()
+    assert len(spairs) == n_dup - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in spairs)
+
+
+def test_lsh_star_guard_preserves_small_bucket_output(spark, dup_docs):
+    """Buckets at or below max_bucket keep exact all-pairs output — the
+    guard at its default threshold does not change small-corpus results."""
+    base = {tuple(r) for r in minhash_lsh_pairs(dup_docs).select("id_a", "id_b").collect()}
+    guarded = {
+        tuple(r)
+        for r in minhash_lsh_pairs(dup_docs, max_bucket=6).select("id_a", "id_b").collect()
+    }
+    assert base == guarded
+
+
+def test_shared_shingles_equivalence(spark, dup_docs):
+    """Passing a precomputed doc_shingles frame must not change results of
+    either LSH candidates or the Jaccard verify (the shared-scan path)."""
+    from neural_search_spark.ops.dedup import doc_shingles
+
+    sh = doc_shingles(dup_docs, n=3).persist()
+    cand_a = minhash_lsh_pairs(dup_docs, n=3)
+    cand_b = minhash_lsh_pairs(dup_docs, n=3, shingles=sh)
+    assert {tuple(r) for r in cand_a.collect()} == {tuple(r) for r in cand_b.collect()}
+    ver_a = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.05, candidates=cand_a)
+    ver_b = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.05, candidates=cand_a, shingles=sh)
+    assert {tuple(r) for r in ver_a.collect()} == {tuple(r) for r in ver_b.collect()}
+    sh.unpersist()

@@ -518,3 +518,149 @@ def test_lsh_prebucketed_partition_pruning(spark, tmp_path):
     # multi-probe set size: C(8,0)+C(8,1)+C(8,2) = 37 buckets
     probes = probe_buckets(query_bucket(q, 8), 8, 2)
     assert len(probes) == 37 and len(set(probes)) == 37
+
+
+def test_dsl_hybrid_fused_equals_per_subquery(spark, transcripts, engine, index_tables):
+    """All-lexical hybrids route through fused_bm25_subquery_scores (one
+    postings scan); the result must be identical to scoring each sub-query
+    separately and unioning (the pre-fusion construction)."""
+    from neural_search_spark.query import bm25, hybrid as hybrid_mod
+
+    body = {
+        "queries": [
+            {"match": {"text": "the data"}},
+            {"match": {"text": "spark model"}},
+            {"term": {"text": {"value": "user", "boost": 2.0}}},
+        ],
+        "normalization": "min_max",
+        "combination": "arithmetic_mean",
+    }
+    got = engine.search({"hybrid": body}, k=10).collect()
+
+    per = []
+    for idx, tokens in enumerate(
+        [{"the": 1.0, "data": 1.0}, {"spark": 1.0, "model": 1.0}, {"user": 2.0}]
+    ):
+        s = bm25.bm25_score_all(
+            index_tables.postings, index_tables.doclens, index_tables.term_stats,
+            index_tables.meta, tokens,
+        )
+        per.append(s.select(F.lit(idx).alias("subquery_idx"), "docID", "score"))
+    bounded = hybrid_mod.bounded_subquery_union(per, 10)
+    normalized = hybrid_mod.normalize_scores(bounded, "min_max")
+    combined = hybrid_mod.combine_scores(normalized, 3, "arithmetic_mean")
+    exp = (
+        combined.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(10).collect()
+    )
+    assert [r["docID"] for r in got] == [r["docID"] for r in exp]
+    for g, e in zip(got, exp):
+        assert g["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+def test_dsl_hybrid_aggs_and_count(spark, transcripts, engine):
+    """Aggs + total-hit counting compose with HYBRID queries
+    (HybridAggregationProcessor.java:31-65): the agg runs over the UNION of
+    the sub-queries' match sets, and post_filter does not affect it."""
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    q = {"hybrid": {"queries": [
+        {"match": {"text": "the data"}},
+        {"match": {"text": "spark"}},
+    ]}}
+    match_a = {r["docID"] for r in engine._score({"match": {"text": "the data"}}, None).collect()}
+    match_b = {r["docID"] for r in engine._score({"match": {"text": "spark"}}, None).collect()}
+    exp_ids = match_a | match_b
+    assert len(exp_ids) > 10
+
+    hits, aggs = engine.search_with_aggs(q, {"by_role": {"terms": {"field": "role"}}}, k=10)
+    assert hits.count() == 10
+    roles = {r["docID"]: r["role"] for r in transcripts.select("docID", "role").collect()}
+    exp = {}
+    for d in exp_ids:
+        exp[roles[d]] = exp.get(roles[d], 0) + 1
+    got = {r["key"]: r["doc_count"] for r in aggs["by_role"].collect()}
+    assert got == exp
+
+    # post_filter must not change hybrid aggs
+    _, aggs_f = engine.search_with_aggs(
+        q, {"by_role": {"terms": {"field": "role"}}}, post_filter={"eq": ["role", "tool"]}
+    )
+    got_f = {r["key"]: r["doc_count"] for r in aggs_f["by_role"].collect()}
+    assert got_f == got
+
+    # count_hits over hybrid = |union of match sets| with threshold relation
+    n, rel = engine.count_hits(q, track_total_hits=100_000)
+    assert (n, rel) == (len(exp_ids), "eq")
+    n2, rel2 = engine.count_hits(q, track_total_hits=5)
+    assert (n2, rel2) == (5, "gte")
+
+
+def test_dsl_from_pagination(spark, engine):
+    """Nonzero `from_` pages non-hybrid results (ranks renumber from 1);
+    hybrid rejects it (HybridQueryPhaseSearcher.java:51-73)."""
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    q = {"match": {"text": {"query": "the data"}}}
+    full = engine.search(q, k=20).collect()
+    page2 = engine.search(q, k=10, from_=10).collect()
+    assert [r["docID"] for r in page2] == [r["docID"] for r in full[10:20]]
+    assert [r["rank"] for r in page2] == list(range(1, 11))
+    with pytest.raises(QueryValidationError, match="from"):
+        engine.search(
+            {"hybrid": {"queries": [{"match": {"text": "the"}}]}}, k=10, from_=5
+        )
+    with pytest.raises(QueryValidationError, match="from_"):
+        engine.search(q, k=10, from_=-1)
+
+
+def test_dsl_public_score_radial(spark, neural_engine):
+    """score() is the public unranked surface (no private _score use)."""
+    import numpy as np
+
+    eng, vecs = neural_engine
+    q = [float(x) for x in vecs[3]]
+    v = vecs.astype(np.float64)
+    qv = np.asarray(q)
+    cos = (v @ qv) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+    got = eng.score({"neural": {"embedding": {"query_vector": q, "min_score": 0.3}}})
+    assert {r["docID"] for r in got.collect()} == {int(i) for i in np.flatnonzero(cos >= 0.3)}
+    with pytest.raises(QueryValidationError, match="hybrid"):
+        eng.score({"hybrid": {"queries": [{"match": {"text": "the"}}]}})
+
+
+def test_dsl_neural_rescore(spark, neural_engine):
+    """rescore = oversample-then-exact-re-rank (rescoreContext analog): at a
+    recall-sufficient window (probe covers every bucket, window ≥ corpus)
+    the rescored ANN result is EXACTLY the full-scan top-k."""
+    import numpy as np
+
+    eng, vecs = neural_engine
+    q = [float(x) for x in vecs[3]]
+    v = vecs.astype(np.float64)
+    qv = np.asarray(q)
+    cos = (v @ qv) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+    exp = sorted(range(len(v)), key=lambda i: (-cos[i], i))[:10]
+
+    got = eng.search(
+        {"neural": {"embedding": {"query_vector": q, "k": 10, "rescore": {
+            "oversample_factor": 20.0, "n_planes": 8, "probe_hamming": 8}}}},
+        k=10,
+    ).collect()
+    assert [r["docID"] for r in got] == exp
+    for r in got:
+        assert r["score"] == pytest.approx(cos[r["docID"]], rel=1e-9)
+
+    # default probe: the query's own vector (bucket hamming 0) is always found
+    approx = eng.search(
+        {"neural": {"embedding": {"query_vector": q, "k": 10, "rescore": {
+            "oversample_factor": 4.0}}}},
+        k=10,
+    ).collect()
+    assert approx[0]["docID"] == 3
+
+    with pytest.raises(QueryValidationError, match="oversample_factor"):
+        eng.search({"neural": {"embedding": {"query_vector": q, "k": 5, "rescore": {
+            "oversample_factor": 200.0}}}})
+    with pytest.raises(QueryValidationError, match="k-mode"):
+        eng.search({"neural": {"embedding": {"query_vector": q, "min_score": 0.1,
+                                             "rescore": {"oversample_factor": 2.0}}}})

@@ -185,12 +185,36 @@ def test_wand_pruning_actually_prunes(spark, transcripts, index_tables, segments
     stats: dict = {}
     # small zone_width so the 200-doc fixture spans multiple zones (the
     # default 1024 is sized for corpus-scale head-term block spans)
+    # no_prune_blocks=0 forces the zone machinery even on this tiny fixture
+    # (the production default skips pruning below 512 blocks — cheaper to
+    # decode than to plan)
     got = wand_topk(
         segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
-        terms, k=1, zone_width=32, stats_out=stats,
+        terms, k=1, zone_width=32, no_prune_blocks=0, stats_out=stats,
     ).collect()
     exp = oracle.topk(oracle.bm25_scores(docs, terms), 1)
     assert [r["docID"] for r in got] == [d for d, _ in exp]
     assert stats["blocks_total"] > 0
     assert stats["blocks_surviving"] < stats["blocks_total"], stats
     assert stats["theta"] > 0
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """Driver-side XXH64 mirror (segments.xxhash64_py / shard_of) must agree
+    with F.xxhash64 bit-for-bit so query-time shard pruning computed in
+    Python targets exactly the directories the writer produced."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.segments import shard_col, shard_of, xxhash64_py
+
+    terms = [
+        "", "a", "the", "spark", "tok0", "tok999999",
+        "x" * 7, "y" * 8, "z" * 31, "w" * 32, "q" * 33, "m" * 100,
+        "ünïcödé-term", "w12345",
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], "t string").select(
+        "t", F.xxhash64("t").alias("h"), shard_col(F.col("t")).alias("s")
+    )
+    for r in df.collect():
+        assert xxhash64_py(r["t"].encode("utf-8")) == r["h"], r["t"]
+        assert shard_of(r["t"]) == r["s"], r["t"]

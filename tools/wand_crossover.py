@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--tokens", type=int, default=48)
     ap.add_argument("--min-tokens", type=int, default=6)
     ap.add_argument("--burstiness", type=float, default=0.15)
+    ap.add_argument("--vocab-size", type=int, default=None,
+                    help="synthetic Zipf vocabulary size (w1..wV); default = 70-word fixture vocab")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--queries", type=str, default=None,
                     help="comma list of query names to run (default: all)")
@@ -67,7 +69,7 @@ def main():
             synthesize_transcripts(
                 spark, n_convs=args.turns // 10, turns_per_conv=10, partitions=args.cpus,
                 tokens_per_turn=args.tokens, min_tokens=args.min_tokens,
-                burstiness=args.burstiness,
+                burstiness=args.burstiness, vocab_size=args.vocab_size,
             )
         )
         tables = build_index_tables(tr, doclens_source="postings")
@@ -94,12 +96,24 @@ def main():
         log(f"built {args.turns} turns in {time.time() - t0:.1f}s; "
             f"{postings.count()} postings, {segments.count()} blocks")
 
-        queries = {
-            "head3": ["the", "data", "spark"],
-            "head1": ["the"],
-            "mid2": ["index", "query"],
-            "mixed4": ["the", "a", "score", "merge"],
-        }
+        if args.vocab_size:
+            # Zipf vocab: ranks span the idf spectrum — w1 is the head term
+            # (df ≈ N·tokens/lnV), w{V/100} mid-frequency, w{V/10} rare-ish
+            V = args.vocab_size
+            queries = {
+                "head1": ["w1"],
+                "head3": ["w1", "w2", "w3"],
+                "mid2": [f"w{max(V // 200, 10)}", f"w{max(V // 100, 20)}"],
+                "mixed4": ["w1", "w5", f"w{max(V // 100, 20)}", f"w{max(V // 20, 40)}"],
+                "midhead2": ["w2", f"w{max(V // 50, 30)}"],
+            }
+        else:
+            queries = {
+                "head3": ["the", "data", "spark"],
+                "head1": ["the"],
+                "mid2": ["index", "query"],
+                "mixed4": ["the", "a", "score", "merge"],
+            }
         if args.queries:
             want = set(args.queries.split(","))
             queries = {k: v for k, v in queries.items() if k in want}
