@@ -278,30 +278,52 @@ def build_segments(
     df = df.withColumn("salt", (F.col("docID") / width).cast("int")).drop("n_salts")
 
     # Term strings are dropped BEFORE the big shuffle: each posting row
-    # carries two independent 64-bit term hashes instead of the string. The
-    # (term, salt) exchange + sort — the most memory-bound stage of the
-    # build — then moves only fixed-width ints (~24B/row vs ~40B+ with the
-    # string), the sort compares int64 prefixes instead of strings, and the
-    # Arrow hop into the Python encoder is fully fixed-width. The string is
-    # re-attached once per BLOCK (1/128th of the rows) by a dictionary join
-    # below. Two independent hashes make a cross-term collision of the
-    # composite key (2⁻¹²⁸-scale even at 10⁸-term vocabularies: p ≈ n²/2¹²⁹)
-    # effectively impossible; the same argument this encoder already relies
-    # on for adjacent-group boundary detection.
+    # carries two independent 64-bit term hashes instead of the string, and
+    # the four value columns are PACKED into two int64s —
+    #   _sd = salt·2⁴² + docID   (docID < 2⁴² ≈ 4.4·10¹², salt < 2²²)
+    #   _td = tf·2³² + dl        (tf, dl < 2³²)
+    # so the (term, salt) exchange + sort — the most memory-bound stage of
+    # the build — moves 4 fixed-width int64 slots (~32B/row in UnsafeRow)
+    # instead of 6 (~48B), the sort key collapses to (_tid, _tid2, _sd)
+    # (numeric _sd order ≡ lexicographic (salt, docID) order since both
+    # fields are non-negative and docID occupies the low bits), and the
+    # Arrow hop into the Python encoder carries a third fewer bytes. The
+    # encoder unpacks with two vectorized shifts. The string is re-attached
+    # once per BLOCK (1/128th of the rows) by a dictionary join below. Two
+    # independent hashes make a cross-term collision of the composite key
+    # (2⁻¹²⁸-scale even at 10⁸-term vocabularies: p ≈ n²/2¹²⁹) effectively
+    # impossible; the same argument this encoder already relies on for
+    # adjacent-group boundary detection.
+    if max_doc_id >= (1 << 42):
+        raise ValueError(
+            f"max_doc_id {max_doc_id} exceeds the 2^42 packed-exchange bound "
+            "— widen the _sd packing before indexing >4.4e12 docs"
+        )
     shuffled = (
         df.select(
             F.xxhash64("term").alias("_tid"),
             F.xxhash64("term", F.lit(0x9E3779B9)).alias("_tid2"),
-            "salt",
-            "docID",
-            "tf",
-            "dl",
+            (F.shiftleft(F.col("salt").cast("long"), 42) + F.col("docID")).alias("_sd"),
+            (F.shiftleft(F.col("tf").cast("long"), 32) + F.col("dl")).alias("_td"),
         )
-        .repartition(num_partitions, "_tid", "salt")
-        .sortWithinPartitions("_tid", "_tid2", "salt", "docID")
+        .repartition(num_partitions, "_tid", F.shiftright(F.col("_sd"), 42))
+        .sortWithinPartitions("_tid", "_tid2", "_sd")
     )
 
-    in_cols = ["_tid", "_tid2", "salt", "docID", "tf", "dl"]
+    in_cols = ["_tid", "_tid2", "_sd", "_td"]
+    _SD_MASK = (1 << 42) - 1
+    _TD_MASK = (1 << 32) - 1
+
+    def _unpack(cols: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        sd, td = cols["_sd"], cols["_td"]
+        return {
+            "_tid": cols["_tid"],
+            "_tid2": cols["_tid2"],
+            "salt": sd >> 42,
+            "docID": sd & _SD_MASK,
+            "tf": td >> 32,
+            "dl": td & _TD_MASK,
+        }
 
     def encode_partition(batches):
         # Arrow-native (mapInArrow): rows never become pandas frames or
@@ -320,17 +342,17 @@ def build_segments(
                 cols = {k: np.concatenate([pending[k], cols[k]]) for k in in_cols}
                 pending = None
             # hold back the trailing (term, salt) group — it may continue in
-            # the next Arrow batch (int group-key comparison, no object-dtype
-            # string equality)
-            g, g2, s = cols["_tid"], cols["_tid2"], cols["salt"]
+            # the next Arrow batch (int group-key comparison; the salt rides
+            # in _sd's high bits so (_tid, _tid2, _sd>>42) is the group key)
+            g, g2, s = cols["_tid"], cols["_tid2"], cols["_sd"] >> 42
             tail = (g == g[-1]) & (g2 == g2[-1]) & (s == s[-1])
             ntail = len(g) if tail.all() else int(tail[::-1].argmin())
             cut = len(g) - ntail
             pending = {k: v[cut:].copy() for k, v in cols.items()}
             if cut:
-                yield _encode_chunk({k: v[:cut] for k, v in cols.items()}, avgdl, block_size)
+                yield _encode_chunk(_unpack({k: v[:cut] for k, v in cols.items()}), avgdl, block_size)
         if pending is not None and len(pending["_tid"]):
-            yield _encode_chunk(pending, avgdl, block_size)
+            yield _encode_chunk(_unpack(pending), avgdl, block_size)
 
     tid_schema = T.StructType(
         [T.StructField("_tid", T.LongType(), False), T.StructField("_tid2", T.LongType(), False)]
