@@ -129,25 +129,31 @@ def fused_bm25_subquery_scores(
 
 def normalize_scores(scores: DataFrame, technique: str = "min_max") -> DataFrame:
     """(subquery_idx, docID, score) → adds `nscore`. Stats are computed per
-    sub-query over the (already top-k-bounded) result lists."""
+    sub-query over the (already top-k-bounded) result lists.
+
+    Stats come from an unbounded WINDOW over subquery_idx, not a
+    groupBy-then-self-join: a self-join references the input subtree twice,
+    and Spark plans the whole upstream pipeline (the postings scan
+    included) once per reference — the window keeps the fused hybrid plan
+    at exactly ONE postings scan. The windowed input is the bounded
+    ≤ n_subqueries·k rows, so the single-partition-per-subquery window is
+    coordinator-scale by construction."""
+    w = Window.partitionBy("subquery_idx")
     if technique == "min_max":
-        stats = scores.groupBy("subquery_idx").agg(
-            F.min("score").alias("_min"), F.max("score").alias("_max")
-        )
-        joined = scores.join(F.broadcast(stats), "subquery_idx")
-        raw = (F.col("score") - F.col("_min")) / (F.col("_max") - F.col("_min"))
+        mn = F.min("score").over(w)
+        mx = F.max("score").over(w)
+        raw = (F.col("score") - mn) / (mx - mn)
         nscore = (
-            F.when((F.col("_max") == F.col("_min")) & (F.col("_max") == F.col("score")), F.lit(1.0))
+            F.when((mx == mn) & (mx == F.col("score")), F.lit(1.0))
             .when(raw == 0.0, F.lit(MIN_SCORE))
             .otherwise(raw)
         )
     elif technique == "l2":
-        stats = scores.groupBy("subquery_idx").agg(F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("_l2"))
-        joined = scores.join(F.broadcast(stats), "subquery_idx")
-        nscore = F.when(F.col("_l2") == 0.0, F.lit(0.0)).otherwise(F.col("score") / F.col("_l2"))
+        l2 = F.sqrt(F.sum(F.col("score") * F.col("score")).over(w))
+        nscore = F.when(l2 == 0.0, F.lit(0.0)).otherwise(F.col("score") / l2)
     else:
         raise ValueError(f"unknown normalization technique: {technique}")
-    return joined.withColumn("nscore", nscore).drop("_min", "_max", "_l2")
+    return scores.withColumn("nscore", nscore)
 
 
 def combine_scores(

@@ -664,3 +664,35 @@ def test_dsl_neural_rescore(spark, neural_engine):
     with pytest.raises(QueryValidationError, match="k-mode"):
         eng.search({"neural": {"embedding": {"query_vector": q, "min_score": 0.1,
                                              "rescore": {"oversample_factor": 2.0}}}})
+
+
+def test_dsl_hybrid_fused_single_postings_scan(spark, transcripts, index_tables, tmp_path):
+    """Plan-shape lock: an all-lexical hybrid must compile to exactly ONE
+    scan of the postings table (fused sub-query scoring + window-based
+    normalization; a groupBy-self-join normalization would plan the scan
+    once per reference)."""
+    import re
+
+    from neural_search_spark.index.build import IndexTables
+    from neural_search_spark.query.dsl import QueryEngine
+
+    p = str(tmp_path / "postings")
+    index_tables.postings.write.parquet(p)
+    t2 = IndexTables(
+        postings=spark.read.parquet(p),
+        doclens=index_tables.doclens,
+        term_stats=index_tables.term_stats,
+        meta=index_tables.meta,
+    )
+    eng = QueryEngine(tables=t2, docs=transcripts)
+    res = eng.search(
+        {"hybrid": {"queries": [
+            {"match": {"text": "the data"}},
+            {"match": {"text": "spark model"}},
+            {"term": {"text": {"value": "user"}}},
+        ]}},
+        k=10,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet|Scan parquet", plan)) == 1
+    assert res.count() == 10
