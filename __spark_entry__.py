@@ -50,6 +50,7 @@ SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3
 EMB_DIM, LSH_PLANES, LSH_PROBE = 64, 8, 2
 NEURAL_MIN_SCORE = 0.15
 RESCORE_OVERSAMPLE, RESCORE_PROBE = 4, 3
+EMB_DUP_THRESHOLD, EMB_DUP_BANDS, EMB_DUP_MAXH = 0.4, 4, 3
 IVF_CLUSTERS, IVF_NPROBE = 16, 4
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 
@@ -355,6 +356,33 @@ def q_lsh_jaccard_verified(spark, sf_dir):
     return ops.ngram_jaccard_pairs(
         docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD, candidates=cand, shingles=sh
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup END-PRODUCT: near-dup cluster labels + survivor flags for
+    EVERY doc — MinHash-LSH candidate pairs → distributed connected
+    components (iterative min-label propagation, rounds = graph diameter)
+    → singleton completion. Filtering is_survivor yields the deduplicated
+    corpus; pairs are just the intermediate."""
+    docs = _docs(spark, sf_dir)
+    pairs = ops.minhash_lsh_pairs(docs, n=JACCARD_N, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    from neural_search_spark.ops.dedup import dedup_near
+
+    return dedup_near(docs, pairs)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH code hamming ball
+    (band-bucketed, pigeonhole-complete over the codes for hamming ≤ 3)
+    → exact cosine verify ≥ threshold."""
+    from neural_search_spark.ops.similarity import embedding_dup_pairs, lsh_index
+
+    emb = _emb(spark, sf_dir)
+    indexed = lsh_index(emb, dim=EMB_DIM, n_planes=LSH_PLANES)
+    return embedding_dup_pairs(
+        indexed, dim=EMB_DIM, threshold=EMB_DUP_THRESHOLD, n_planes=LSH_PLANES,
+        bands=EMB_DUP_BANDS, max_hamming=EMB_DUP_MAXH,
+    ).withColumn("cosine", F.round("cosine", 6))
 
 
 def q_simhash(spark, sf_dir):
@@ -958,6 +986,52 @@ def _oracle_ivf_cosine() -> str:
   {_sql_rank("scored", "cosine", "vec_id", K)}"""
 
 
+def _oracle_dedup_clusters() -> str:
+    """Min-reachable-id per node via a recursive CTE over the symmetric LSH
+    candidate edge list — the exact fixpoint the Spark min-label
+    propagation converges to; singletons complete to rep = own id."""
+    return f"""with recursive {_sql_lsh_cand_ctes()},
+  e as (select id_a as a, id_b as b from cand union select id_b as a, id_a as b from cand),
+  walk(id, r) as (
+      select a, a from e
+    union
+      select w.id, e.b from walk w join e on e.a = w.r
+  ),
+  comp as (select id, min(r) as rep from walk group by id)
+  select d.doc_id as id, coalesce(c.rep, d.doc_id) as rep,
+         (coalesce(c.rep, d.doc_id) = d.doc_id) as is_survivor
+  from documents d left join comp c on d.doc_id = c.id"""
+
+
+def _oracle_embedding_dup_pairs() -> str:
+    from neural_search_spark.ops.similarity import _plane_matrix
+
+    mat = _plane_matrix(EMB_DIM, LSH_PLANES)
+
+    def bucket_expr(vec: str) -> str:
+        parts = []
+        for p in range(LSH_PLANES):
+            arr = "[" + ",".join(str(int(v)) for v in mat[p]) + "]::DOUBLE[]"
+            parts.append(
+                f"(case when list_dot_product({vec}, {arr}) >= 0 then 1::BIGINT else 0::BIGINT end << {p})"
+            )
+        return "(" + " + ".join(parts) + ")"
+
+    return f"""
+  with bucketed as (
+    select vec_id, embedding::DOUBLE[] as e, {bucket_expr('embedding::DOUBLE[]')} as b
+    from embeddings
+  )
+  select a.vec_id as id_a, b.vec_id as id_b,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) as cosine
+  from bucketed a join bucketed b on a.vec_id < b.vec_id
+  where bit_count(xor(a.b, b.b)) <= {EMB_DUP_MAXH}
+    and list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= {EMB_DUP_THRESHOLD}"""
+
+
 def _oracle_hybrid_aggs() -> str:
     terms = sorted(set(Q_HY_A) | set(Q_HY_B))
     in_list = ", ".join(f"'{t}'" for t in terms)
@@ -1078,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
         "content_fingerprint": q_content_fingerprint,
@@ -1175,6 +1251,8 @@ def oracle_sql() -> dict[str, str]:
   select * from j where jaccard >= {JACCARD_THRESHOLD}""",
         "simhash": _oracle_simhash(),
         "simhash_pairs": _oracle_simhash_pairs(),
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "embedding_dup_pairs": _oracle_embedding_dup_pairs(),
         "quality_features": f"""
   select doc_id,
          len(toks)::BIGINT as n_tokens,

@@ -90,6 +90,8 @@ QNAMES = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "lsh_jaccard_verified",
+    "dedup_clusters",
+    "embedding_dup_pairs",
     "simhash",
     "simhash_pairs",
     "cosine_top10",

@@ -343,3 +343,83 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, rep) — connected-component labels over an undirected pair list,
+    rep = min id reachable from the node (the canonical dedup survivor).
+
+    Iterative min-label propagation, fully distributed: each round joins
+    the current labels across the symmetric edge list and takes the min
+    neighbor label; terminates when a round changes nothing. Rounds needed
+    = graph diameter — for LSH dedup graphs that is tiny by construction
+    (buckets emit cliques or stars against the bucket min-id, so duplicate
+    clusters have diameter ≤ ~2·bands). Each round is one shuffle on id;
+    lineage is cut per round with localCheckpoint so the plan does not
+    deepen. A 10⁶-member cluster costs the same rounds as a 10-member one
+    — rounds scale with diameter, not cluster size.
+
+    The driver-side loop is control flow only (one Long per round crosses
+    to the driver); no data is ever collected.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("rep").alias("nmin"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
+                    (F.coalesce(F.col("nmin"), F.col("rep")) < F.col("rep")).alias("_chg"),
+                )
+            )
+            updated = updated.localCheckpoint()
+            changed = updated.where(F.col("_chg")).limit(1).count()
+            labels = updated.drop("_chg")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, rep, is_survivor) for EVERY row of `df`: near-dup cluster label
+    from `pairs` (connected_components), singletons labeled by their own
+    id. Filtering `is_survivor` yields the deduplicated corpus — the
+    actual end-product of a near-dup pipeline at 100 TB (pairs are an
+    intermediate). The components join is broadcast-friendly: the label
+    table has one row per PAIRED doc (duplicates only), typically a small
+    fraction of the corpus."""
+    comp = connected_components(pairs)
+    out = df.select(F.col(id_col).alias("id")).join(comp, "id", "left")
+    return out.select(
+        "id",
+        F.coalesce(F.col("rep"), F.col("id")).alias("rep"),
+        (F.coalesce(F.col("rep"), F.col("id")) == F.col("id")).alias("is_survivor"),
+    )

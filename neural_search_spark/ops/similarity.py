@@ -245,3 +245,102 @@ def lsh_cosine_topk(
         hamming = F.bit_count(bucket.cast("long").bitwiseXOR(F.lit(q_bucket).cast("long")))
         cand = emb.where(hamming <= probe_hamming)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — embedding-cosine near-dup pairs: candidates
+    are vectors whose sign-LSH codes lie within `max_hamming` bits, found
+    by the band-bucket trick (split the n_planes-bit code into `bands`
+    contiguous bit bands; by pigeonhole any pair within max_hamming <
+    bands agrees exactly on ≥1 band → one shuffle on the band value, pair
+    generation bucket-side with the same giant-bucket star guard as
+    minhash_lsh_pairs), then verified with the exact cosine ≥ threshold.
+
+    Completeness caveat (unlike SimHash-over-shingles, where the code IS
+    the signature): the hamming ball is complete over the CODES, but the
+    code is a lossy projection of the vector — a pair with cosine ≥
+    threshold whose codes differ in more than max_hamming bits is missed.
+    Recall rises with n_planes and max_hamming; at 100 TB the candidate
+    stage stays one bucket-shuffle regardless.
+    """
+    from pyspark.sql import Window
+
+    if n_planes % bands != 0:
+        raise ValueError("n_planes must be divisible by bands")
+    if not 0 <= max_hamming < bands:
+        raise ValueError("max_hamming must satisfy 0 <= max_hamming < bands")
+    if "bucket" in emb.columns:
+        coded = emb.select(F.col(id_col).alias("id"), F.col("bucket").alias("code"))
+    else:
+        coded = emb.select(
+            F.col(id_col).alias("id"),
+            lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("code"),
+        )
+    width = n_planes // bands
+    band_vals = [
+        F.shiftright(F.col("code").cast("long"), b * width) % F.lit(1 << width)
+        for b in range(bands)
+    ]
+    banded = coded.select("id", "code", F.posexplode(F.array(*band_vals)).alias("band", "bv"))
+    wb = Window.partitionBy("band", "bv")
+    marked = banded.withColumn("_cnt", F.count("*").over(wb)).withColumn(
+        "_rep", F.min(F.struct("id", "code")).over(wb)
+    )
+    small = (
+        marked.where((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
+        .groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_set(F.struct("id", "code"))).alias("rows"))
+    )
+    small_pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("rows"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(
+                                x["code"].cast("long").bitwiseXOR(y["code"].cast("long"))
+                            ).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    star_pairs = marked.where(
+        (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_rep.id"))
+    ).select(
+        F.col("_rep.id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.bit_count(
+            F.col("_rep.code").cast("long").bitwiseXOR(F.col("code").cast("long"))
+        ).alias("hamming"),
+    )
+    cand = (
+        small_pairs.unionByName(star_pairs)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -142,3 +142,79 @@ def test_shared_shingles_equivalence(spark, dup_docs):
     ver_b = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.05, candidates=cand_a, shingles=sh)
     assert {tuple(r) for r in ver_a.collect()} == {tuple(r) for r in ver_b.collect()}
     sh.unpersist()
+
+
+def test_connected_components_and_dedup_near(spark, dup_docs):
+    """Min-label propagation must converge to the transitive-closure min
+    (including chains longer than one hop), and dedup_near must complete
+    singletons with their own id."""
+    from neural_search_spark.ops.dedup import connected_components, dedup_near
+
+    # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: closure min for 1..4 is 1
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["rep"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(12)], "doc_id long, text string")
+    out = {r["id"]: (r["rep"], r["is_survivor"]) for r in dedup_near(docs, pairs).collect()}
+    assert out[3] == (1, False) and out[1] == (1, True)
+    assert out[5] == (5, True)  # singleton
+    survivors = {i for i, (_, s) in out.items() if s}
+    assert survivors == {0, 1, 5, 6, 7, 8, 9, 10}
+
+
+def test_dedup_near_lsh_end_to_end(spark, dup_docs):
+    """docs → LSH pairs → clusters: the exact/near dup groups of the
+    fixture collapse to their min-id survivors."""
+    from neural_search_spark.ops.dedup import dedup_near
+
+    pairs = minhash_lsh_pairs(dup_docs)
+    out = {r["id"]: r["rep"] for r in dedup_near(dup_docs, pairs).collect()}
+    # 0, 1, 4 are (near-)dups of doc 0; 2, 3 of doc 2; 5 alone
+    assert out[4] == 0 and out[1] == 0 and out[0] == 0
+    assert out[3] == 2 and out[2] == 2
+    assert out[5] == 5
+
+
+def test_embedding_dup_pairs_matches_bruteforce(spark):
+    """Band-bucketed code hamming ball == brute-force {hamming ≤ H} pairs,
+    then exact cosine filter — verified against a numpy oracle."""
+    import numpy as np
+
+    from neural_search_spark.ops.similarity import (
+        _plane_matrix,
+        embedding_dup_pairs,
+        lsh_index,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(40, 16))
+    # plant near-dups: 3 jittered copies of vector 0
+    vecs = np.vstack([base, base[0] + 0.01 * rng.normal(size=(3, 16))])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs(
+            lsh_index(emb, dim=16, n_planes=8), dim=16, threshold=0.9,
+            n_planes=8, bands=4, max_hamming=3,
+        ).collect()
+    }
+    # numpy oracle over float32-rounded vectors (Spark stores array<float>)
+    v = vecs.astype(np.float32).astype(np.float64)
+    planes = _plane_matrix(16, 8)  # (planes, dim)
+    codes = ((v @ planes.T) >= 0) @ (1 << np.arange(8))
+    exp = {}
+    for a in range(len(v)):
+        for b in range(a + 1, len(v)):
+            ham = bin(int(codes[a]) ^ int(codes[b])).count("1")
+            cos = v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b]))
+            if ham <= 3 and cos >= 0.9:
+                exp[(a, b)] = cos
+    assert set(got) == set(exp) and len(exp) >= 3
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-9)

@@ -694,5 +694,12 @@ def test_dsl_hybrid_fused_single_postings_scan(spark, transcripts, index_tables,
         k=10,
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"FileScan parquet|Scan parquet", plan)) == 1
+    # count data scans only: Spark's InjectRuntimeFilter may add term-only
+    # bloom-builder Subquery scans — those are an optimization artifact,
+    # not a second pass over the posting payload
+    data_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "docID" in ln
+    ]
+    assert len(data_scans) == 1, plan
     assert res.count() == 10
