@@ -126,9 +126,37 @@ class IndexStore:
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "segments"))
 
-    def topk(self, terms, k: int = 10, prune: bool = True) -> DataFrame:
+    def topk(self, terms, k: int = 10, prune: bool = True, strategy: str = "auto") -> DataFrame:
+        """Top-k BM25 over the store.
+
+        strategy='auto' encodes the measured crossover (BENCH.md §4): a
+        one-job lookup of the query terms' df decides the physical plan —
+        when the estimated block count Σ ceil(df/block_size) is at or
+        below the WAND early-exit bound the segment path decodes the few
+        blocks outright (2 jobs, beat relational 1.8-4.1× on mid-frequency
+        queries at 2-8 M docs); head-heavy queries route to the relational
+        join-agg, whose single scan wins when most blocks would survive
+        pruning anyway. 'segments'/'relational' force a path."""
+        from neural_search_spark.index.segments import BLOCK_SIZE
         from neural_search_spark.query.segment_search import wand_topk
 
+        if strategy not in ("auto", "segments", "relational"):
+            raise ValueError(f"unknown strategy: {strategy}")
+        if strategy == "auto":
+            q_terms = sorted(set(terms))
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in self.term_stats.where(F.col("term").isin(q_terms)).collect()
+            }
+            est_blocks = sum(-(-d // BLOCK_SIZE) for d in dfs.values())
+            strategy = "segments" if est_blocks <= 512 else "relational"
+        if strategy == "relational":
+            from neural_search_spark.query.bm25 import bm25_topk
+
+            meta = self.spark.createDataFrame(
+                [(self.meta["N"], self.meta["avgdl"])], "N long, avgdl double"
+            )
+            return bm25_topk(self.postings, self.doclens, self.term_stats, meta, terms, k=k)
         return wand_topk(
             self.segments,
             self.term_stats,

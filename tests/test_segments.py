@@ -218,3 +218,26 @@ def test_xxhash64_py_matches_spark(spark):
     for r in df.collect():
         assert xxhash64_py(r["t"].encode("utf-8")) == r["h"], r["t"]
         assert shard_of(r["t"]) == r["s"], r["t"]
+
+
+def test_store_topk_auto_strategy(spark, tmp_path):
+    """strategy='auto' must return the same ranking as both forced paths,
+    and pick the segment path for rare terms / relational for head terms."""
+    from neural_search_spark.data import synthesize_transcripts
+    from neural_search_spark.index.store import IndexStore, build_index
+
+    tr = synthesize_transcripts(spark, n_convs=15, turns_per_conv=8, seed=42)
+    out = str(tmp_path / "idx")
+    build_index(spark, tr, out, source_fingerprint="auto-test", postings_per_salt=50)
+    store = IndexStore(spark, out)
+
+    for terms in (["tok5"], ["the", "data", "spark"]):
+        rows = {}
+        for strat in ("segments", "relational", "auto"):
+            got = store.topk(terms, k=5, strategy=strat).collect()
+            rows[strat] = [(r["docID"], round(r["score"], 9)) for r in got]
+        assert rows["segments"] == rows["relational"] == rows["auto"], terms
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        store.topk(["the"], strategy="bogus")
