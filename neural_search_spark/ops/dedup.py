@@ -199,12 +199,24 @@ def ngram_jaccard_pairs(
     never run it raw at 10^12 docs."""
     cand = None
     if candidates is not None:
-        cand = candidates.select("id_a", "id_b").where(F.col("id_a") < F.col("id_b")).distinct()
+        # PERSIST the candidate frames: `cand` feeds the shared-shingle join
+        # AND (via `ids`) three semi-joins (sh_a, sh_b, sizes×2) — unpersisted,
+        # the entire upstream candidate pipeline (typically the full
+        # MinHash-LSH DAG: signatures, banding, bucket window, pair-gen) is
+        # re-executed once per consumer, ~5× total. Measured at sf0.01 this
+        # was a ~20 s fixed floor on lsh_jaccard_verified; persisted it is
+        # one evaluation. Both frames are candidate-pair scale (≪ corpus) and
+        # are left pinned for the lifetime of the result plan — Spark evicts
+        # them LRU; callers holding a one-shot result can spark.catalog
+        # .clearCache() afterwards.
+        cand = (
+            candidates.select("id_a", "id_b").where(F.col("id_a") < F.col("id_b")).distinct()
+        ).persist()
         ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
-        )
+        ).persist()
         # prune the expensive tokenize/shingle scan to candidate docs
         df = df.join(ids, id_col, "left_semi")
     if shingles is not None:
@@ -214,6 +226,9 @@ def ngram_jaccard_pairs(
     else:
         sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if candidates is not None:
+        # used twice (n_a, n_b); one row per candidate doc — tiny
+        sizes = sizes.persist()
     if candidates is not None:
         sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
         sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -367,9 +382,17 @@ def connected_components(
     The driver-side loop is control flow only (one Long per round crosses
     to the driver); no data is ever collected.
     """
+    # the union evaluates `pairs` twice (+once more via the self-loop
+    # branch); callers typically hand us the raw LSH pipeline — pin it so
+    # the candidate DAG runs once
+    pairs = pairs.persist()
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    # self-loops fold the "keep own label" left-join into the neighbor-min
+    # aggregation: one join + one agg per round instead of two joins
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        sym.unionByName(sym.select(F.col("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
@@ -379,29 +402,32 @@ def connected_components(
         .withColumn("rep", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence check rides a monotone scalar: reps only ever decrease, so
+    # Σrep (exact decimal — int64 ids at 10^12-row scale would overflow a
+    # LongType sum) is strictly decreasing iff any label changed this round.
+    # One tiny agg job per round, no change-flag join, nothing but a scalar
+    # crosses to the driver.
+    def _sum_rep(lb):
+        return lb.agg(F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    prev_sum = _sum_rep(labels)
     try:
         for _ in range(max_iter):
-            neighbor_min = (
+            updated = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
-                .agg(F.min("rep").alias("nmin"))
-            )
-            updated = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "id",
-                    F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
-                    (F.coalesce(F.col("nmin"), F.col("rep")) < F.col("rep")).alias("_chg"),
-                )
-            )
-            updated = updated.localCheckpoint()
-            changed = updated.where(F.col("_chg")).limit(1).count()
-            labels = updated.drop("_chg")
-            if changed == 0:
+                .agg(F.min("rep").alias("rep"))
+                .withColumnRenamed("src", "id")
+            ).localCheckpoint()
+            cur_sum = _sum_rep(updated)
+            labels = updated
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels
     finally:
         edges.unpersist()
+        pairs.unpersist()
 
 
 def dedup_near(
