@@ -26,7 +26,18 @@ set-at-a-time analog of BMW's aligned block boundaries):
     rescue phase exists. Docs from pruned zones that leak in via block
     overlap carry (possibly partial) scores < θ and cannot displace the
     true top-k.
- 5. Exact score = Σ decoded contributions per doc; top-k, ties by docID
+ 5. MAXSCORE essential-term split (Turtle & Flood; the reference's
+    doc-at-a-time counterpart is minCompetitiveScore,
+    query/HybridQueryScorer.java:161-171): terms whose global upper
+    bounds sum to < θ are NON-ESSENTIAL — no doc can reach θ on them
+    alone, so candidates come from essential postings only. Non-essential
+    (dense head) blocks are decoded but their postings are filtered to
+    the candidate docID set INSIDE the kernel (sorted-array searchsorted
+    against a broadcast), so head-term postings never cross the Arrow hop
+    or the score exchange; when the candidate bound (Σ df of essential
+    terms) exceeds `cand_limit`, they are decoded in full and candidacy
+    is enforced by a ≥1-essential-part flag in the aggregation.
+ 6. Exact score = Σ decoded contributions per doc; top-k, ties by docID
     asc (ScoreCombiner.java:37-50 semantics).
 
 Everything is DataFrame dataflow; decoding is a vectorized Arrow pass
@@ -57,11 +68,22 @@ _DECODED_SCHEMA = T.StructType(
     ]
 )
 
-def _decode_and_score(blocks: DataFrame, avgdl: float, k1: float, b: float) -> DataFrame:
+def _decode_and_score(
+    blocks: DataFrame, avgdl: float, k1: float, b: float, cand_bc=None
+) -> DataFrame:
     """blocks: (term, w_idf, n, docids, tfs, dls) → (docID, part) partial
-    scores, decoded+scored in one vectorized pass per Arrow batch."""
+    scores, decoded+scored in one vectorized pass per Arrow batch.
+
+    `cand_bc` (optional): a Spark broadcast of a SORTED np.int64 array of
+    candidate docIDs. Postings of other docs are dropped INSIDE the kernel
+    (one vectorized searchsorted per batch) — they never cross the
+    Python→JVM Arrow hop nor enter the score exchange. This is the
+    MAXSCORE non-essential decode path: the blocks still get swept (varint
+    decode is memory-speed), but a dense head term emits only its
+    candidate rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand = cand_bc.value if cand_bc is not None else None
         for batch in batches:
             if batch.empty:
                 continue
@@ -69,6 +91,14 @@ def _decode_and_score(blocks: DataFrame, avgdl: float, k1: float, b: float) -> D
             block_idx, docids, tfs, dls = decode_blocks_batch(
                 list(batch["docids"]), list(batch["tfs"]), list(batch["dls"]), ns
             )
+            if cand is not None and len(docids):
+                if len(cand) == 0:
+                    continue
+                pos = np.searchsorted(cand, docids)
+                pos[pos == len(cand)] = 0
+                mask = cand[pos] == docids
+                block_idx, docids = block_idx[mask], docids[mask]
+                tfs, dls = tfs[mask], dls[mask]
             w_idf = batch["w_idf"].to_numpy(np.float64)[block_idx]
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
@@ -92,6 +122,7 @@ def wand_topk(
     zone_width: int = 1024,
     wide_cap: int = 64,
     no_prune_blocks: int = 512,
+    cand_limit: int = 2_000_000,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """(rank, docID, score) exact BM25 top-k over the segment table.
@@ -104,15 +135,19 @@ def wand_topk(
     Fixed-floor design (the part that dominates at query time): the whole
     plan runs in THREE Spark jobs — (A) one tiny aggregate over the
     persisted block metadata that yields per-term df (Σ n over the term's
-    blocks — exact, no term_stats scan), total block count, and the
-    wide-block gmax constants in a single collect; (B) the θ-seed
-    decode+top-k; (C) the final prune→decode→score→top-k. Shard partition
-    values are computed driver-side (segments.shard_of, a pure-Python
-    XXH64) — no Spark job. When the query's total block count is ≤
-    `no_prune_blocks`, the θ/zone machinery is skipped entirely and the
-    blocks are decoded outright (2 jobs) — pruning a handful of blocks
-    costs more in job latency than the decode it saves. `term_stats` is
-    accepted for API compatibility but never scanned."""
+    blocks — exact, no term_stats scan), total block count, per-term
+    global max (the MAXSCORE UB_t) and the wide-block gmax constants in a
+    single collect; (B) the θ-seed decode+top-k; (C) the final
+    prune→decode→score→top-k. Shard partition values are computed
+    driver-side (segments.shard_of, a pure-Python XXH64) — no Spark job.
+    When the query's total block count is ≤ `no_prune_blocks`, the θ/zone
+    machinery is skipped entirely and the blocks are decoded outright
+    (2 jobs) — pruning a handful of blocks costs more in job latency than
+    the decode it saves. When the MAXSCORE split activates (≥1
+    non-essential term) a fourth job materializes the candidate docIDs
+    for the kernel filter (≤ `cand_limit` int64s to the driver; above
+    that the flag fallback keeps 3 jobs). `term_stats` is accepted for
+    API compatibility but never scanned."""
     import time as _time
 
     spark = segments.sparkSession
@@ -157,6 +192,7 @@ def wand_topk(
                 F.count("*").alias("nblocks"),
                 F.count(F.when(wide_c, F.lit(1))).alias("nwide"),
                 F.max(F.when(wide_c, F.col("max_score_component"))).alias("wide_max"),
+                F.max("max_score_component").alias("tmax"),
             )
             .collect()
         )
@@ -176,7 +212,10 @@ def wand_topk(
             for r in agg_rows
             if r["wide_max"] is not None
         }
-        g_const = sum(gmax.values())
+        # per-term global upper bound UB_t = w_idf·max component over ALL
+        # of t's blocks (MAXSCORE term bound; max_score_component is
+        # rounded UP into float32 at build time, so UB_t is a true bound)
+        ub = {r["term"]: w_idf[r["term"]] * float(r["tmax"]) for r in agg_rows if r["term"] in w_idf}
 
         widf_df = F.broadcast(
             spark.createDataFrame(
@@ -228,21 +267,45 @@ def wand_topk(
         theta = seed_scores[-1]["score"] if len(seed_scores) >= k else 0.0
         phases["theta_seed"] = round(_time.time() - _t0, 3)
 
+        # --- MAXSCORE essential-term split -------------------------------
+        # Sort terms ascending by UB_t and peel off a maximal NON-ESSENTIAL
+        # prefix with Σ UB strictly < θ: any doc scoring ≥ θ must carry at
+        # least one posting of the remaining ESSENTIAL terms. Candidates
+        # therefore come from essential postings only; non-essential
+        # (typically dense head) terms contribute scores but never
+        # nominate candidates — their postings are filtered to the
+        # candidate set inside the decode kernel, so a head term's
+        # millions of postings never reach the score exchange. This is
+        # the set-at-a-time MAXSCORE of Turtle & Flood; the reference's
+        # doc-at-a-time counterpart is the minCompetitiveScore machinery
+        # (query/HybridQueryScorer.java:161-171).
+        ne_terms: list[str] = []
+        cum_ne = 0.0
+        if theta > 0.0:
+            for t in sorted(w_idf, key=lambda s: (ub[s], s)):
+                if len(ne_terms) >= len(w_idf) - 1 or cum_ne + ub[t] >= theta:
+                    break
+                ne_terms.append(t)
+                cum_ne += ub[t]
+        ne_set = set(ne_terms)
+        e_terms = [t for t in sorted(w_idf) if t not in ne_set]
+
         # --- zone-aligned block-max pruning (set-at-a-time BMW analog) ---
         # The docID space is cut into fixed zones of `zone_width` ids. For
-        # every zone, an upper bound of ANY doc's total score inside it:
-        #   ztot(z) = Σ_t max-ub of t's blocks overlapping z
+        # every zone, an upper bound of any CANDIDATE doc's total score:
+        #   ztot(z) = Σ_{t∈E} max-ub of t's blocks overlapping z + Σ_{t∈NE} UB_t
         # (a doc's per-term contribution is bounded by the max of the one
-        # block that holds it). Zones with ztot < θ cannot contain a top-k
-        # doc; every other doc has ALL its blocks inside the decoded set,
-        # so scores are exact and NO rescue phase exists. Blocks spanning
-        # more than `wide_cap` zones (rare terms — few blocks, wide docID
-        # span) are not exploded: they are always decoded, and their
-        # per-term max enters every zone's bound as the constant G.
-        # default zone_width 1024 ≈ 8 head-term blocks per zone.
-        # gmax/g_const were already computed driver-side in job A; qmeta
-        # re-derives per-block ub by the broadcast w_idf join (metadata-only
-        # rows — the payloads never enter the zone machinery)
+        # block that holds it; non-essential terms enter as the constant
+        # Σ UB < θ). Zones with ztot < θ cannot contain a top-k doc; every
+        # candidate in a surviving zone has ALL its blocks inside the
+        # decoded set, so scores are exact and NO rescue phase exists.
+        # Blocks spanning more than `wide_cap` zones (rare terms — few
+        # blocks, wide docID span) are not exploded: they are always
+        # decoded, and their per-term max enters every zone's bound via
+        # the constant G. default zone_width 1024 ≈ 8 head-term blocks per
+        # zone. gmax/UB were already computed driver-side in job A; qmeta
+        # re-derives per-block ub by the broadcast w_idf join
+        # (metadata-only rows — payloads never enter the zone machinery)
         classified = (
             qmeta.join(widf_df, "term")
             .withColumn("ub", F.col("w_idf") * F.col("max_score_component"))
@@ -250,11 +313,13 @@ def wand_topk(
             .withColumn("_zhi", zhi_c)
             .withColumn("_wide", (F.col("_zhi") - F.col("_zlo")) >= wide_cap)
         )
-        wide = classified.where(F.col("_wide"))
-        narrow = classified.where(~F.col("_wide"))
+        cls_e = classified.where(F.col("term").isin(e_terms)) if ne_terms else classified
+        wide = cls_e.where(F.col("_wide"))
+        narrow = cls_e.where(~F.col("_wide"))
+        g_const_e = sum(v for t, v in gmax.items() if t not in ne_set)
         gmax_df = F.broadcast(
             spark.createDataFrame(
-                [(t, gmax.get(t, 0.0)) for t in sorted(w_idf)], "term string, gmx double"
+                [(t, gmax.get(t, 0.0)) for t in e_terms], "term string, gmx double"
             )
         )
         zstats = (
@@ -267,7 +332,9 @@ def wand_topk(
             .groupBy("zone")
             .agg(F.sum(F.greatest(F.col("zmax") - F.col("gmx"), F.lit(0.0))).alias("excess"))
         )
-        surviving_zones = zstats.where(F.col("excess") + F.lit(g_const) >= F.lit(theta)).select("zone")
+        surviving_zones = zstats.where(
+            F.col("excess") + F.lit(g_const_e + cum_ne) >= F.lit(theta)
+        ).select("zone")
 
         narrow_keep = (
             narrow.select("term", "salt", "blockID", F.explode(F.sequence("_zlo", "_zhi")).alias("zone"))
@@ -278,27 +345,120 @@ def wand_topk(
         keep_keys = narrow_keep.unionByName(wide.select("term", "salt", "blockID"))
         decode_set = qblocks.join(keep_keys, ["term", "salt", "blockID"], "left_semi")
 
-        scored = _decode_and_score(
+        e_parts = _decode_and_score(
             decode_set.select("term", "w_idf", "n", "docids", "tfs", "dls"), avgdl, k1, b
         )
-        total = scored.groupBy("docID").agg(F.sum("part").alias("score"))
-        _t0 = _time.time()
-        rows = _ranked(total, k).collect()
-        phases["prune_decode_score"] = round(_time.time() - _t0, 3)
+        cand_mode = None
+        n_cand = 0
+        ne_keys_df = None
+        if not ne_terms:
+            total = e_parts.groupBy("docID").agg(F.sum("part").alias("score"))
+            _t0 = _time.time()
+            rows = _ranked(total, k).collect()
+            phases["prune_decode_score"] = round(_time.time() - _t0, 3)
+        else:
+            ne_cls = classified.where(F.col("term").isin(ne_terms))
+            e_parts = e_parts.persist()
+            _t0 = _time.time()
+            # Σ df over essential terms bounds the candidate count without
+            # a Spark job; only below `cand_limit` do candidate docIDs come
+            # to the driver (≤ cand_limit int64s) for the kernel filter
+            cand_bound = sum(dfs[t] for t in e_terms)
+            try:
+                if cand_bound <= cand_limit:
+                    cand_mode = "kernel"
+                    cand_ids = np.unique(
+                        e_parts.select("docID").toPandas()["docID"].to_numpy(np.int64)
+                    )
+                    n_cand = int(len(cand_ids))
+                    cand_bc = spark.sparkContext.broadcast(cand_ids)
+                    phases["cand_collect"] = round(_time.time() - _t0, 3)
+                    # narrow NE blocks overlapping no candidate zone are
+                    # never decoded; surviving ones are swept but emit only
+                    # candidate postings (kernel searchsorted filter)
+                    cand_zones = np.unique(cand_ids // zone_width)
+                    # pandas → Arrow path: a list-of-tuples createDataFrame
+                    # would pickle-serialize up to cand_limit rows
+                    zones_df = F.broadcast(
+                        spark.createDataFrame(
+                            pd.DataFrame({"zone": cand_zones.astype(np.int64)})
+                        )
+                    )
+                    ne_narrow_keep = (
+                        ne_cls.where(~F.col("_wide"))
+                        .select(
+                            "term", "salt", "blockID",
+                            F.explode(F.sequence("_zlo", "_zhi")).alias("zone"),
+                        )
+                        .join(zones_df, "zone", "left_semi")
+                        .select("term", "salt", "blockID")
+                        .distinct()
+                    )
+                    ne_keys = ne_narrow_keep.unionByName(
+                        ne_cls.where(F.col("_wide")).select("term", "salt", "blockID")
+                    )
+                    ne_keys_df = ne_keys
+                    ne_decode = qblocks.join(ne_keys, ["term", "salt", "blockID"], "left_semi")
+                    ne_parts = _decode_and_score(
+                        ne_decode.select("term", "w_idf", "n", "docids", "tfs", "dls"),
+                        avgdl, k1, b, cand_bc=cand_bc,
+                    )
+                    # every NE row is a candidate; every output doc carries
+                    # ≥1 essential part, so candidacy needs no flag
+                    total = (
+                        e_parts.unionByName(ne_parts)
+                        .groupBy("docID")
+                        .agg(F.sum("part").alias("score"))
+                    )
+                else:
+                    # candidate set too large to broadcast: decode NE fully
+                    # and enforce the ≥1-essential-posting rule in the agg
+                    cand_mode = "flag"
+                    ne_keys_df = ne_cls.select("term", "salt", "blockID")
+                    ne_decode = qblocks.join(
+                        ne_keys_df,
+                        ["term", "salt", "blockID"],
+                        "left_semi",
+                    )
+                    ne_parts = _decode_and_score(
+                        ne_decode.select("term", "w_idf", "n", "docids", "tfs", "dls"),
+                        avgdl, k1, b,
+                    )
+                    total = (
+                        e_parts.withColumn("_e", F.lit(1))
+                        .unionByName(ne_parts.withColumn("_e", F.lit(0)))
+                        .groupBy("docID")
+                        .agg(F.sum("part").alias("score"), F.max("_e").alias("_e"))
+                        .where(F.col("_e") == 1)
+                        .drop("_e")
+                    )
+                _t0 = _time.time()
+                rows = _ranked(total, k).collect()
+                phases["prune_decode_score"] = round(_time.time() - _t0, 3)
+            finally:
+                e_parts.unpersist()
         if stats_out is not None:
             _t0 = _time.time()
             n_zones = zstats.count()
             n_zones_surv = surviving_zones.count()
-            n_decoded = n_wide + narrow_keep.count()
+            n_decoded = keep_keys.count()
+            n_ne_decoded = ne_keys_df.count() if ne_keys_df is not None else 0
             phases["telemetry_counts"] = round(_time.time() - _t0, 3)
             stats_out.update(
                 {
                     "theta": theta,
                     "blocks_total": n_total,
-                    "blocks_surviving": n_decoded,
+                    "blocks_surviving": n_decoded + n_ne_decoded,
+                    "blocks_essential": n_decoded,
+                    "blocks_ne_decoded": n_ne_decoded,
                     "blocks_wide": n_wide,
                     "zones_total": n_zones,
                     "zones_surviving": n_zones_surv,
+                    "essential_terms": e_terms,
+                    "nonessential_terms": ne_terms,
+                    "ne_ub_sum": cum_ne,
+                    "cand_mode": cand_mode,
+                    "cand_count": n_cand,
                     # kept for older callers: the zone design has no rescue
                     "blocks_rescued": 0,
                     "rescue_candidates": 0,

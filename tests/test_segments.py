@@ -241,3 +241,42 @@ def test_store_topk_auto_strategy(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="strategy"):
         store.topk(["the"], strategy="bogus")
+
+
+def test_wand_maxscore_split_kernel_and_flag(spark, transcripts, index_tables, segments):
+    """A query mixing dense head terms with an upweighted rare term must
+    activate the MAXSCORE essential/non-essential split (the heads' summed
+    upper bounds fall below θ), stay rank- and score-identical to both the
+    unpruned decode and the brute-force oracle on BOTH non-essential
+    handling paths (kernel docID filter / ≥1-essential flag), and decode
+    fewer non-essential blocks than the full query would."""
+    m = index_tables.meta.first()
+    docs = {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
+    # heavy weight on the rare term drives θ far above the heads' UBs
+    terms = {"the": 1.0, "a": 1.0, "tok5": 8.0}
+    exp = oracle.topk(oracle.bm25_scores(docs, terms), 5)
+
+    results = {}
+    for mode, limit in (("kernel", 2_000_000), ("flag", 0)):
+        stats: dict = {}
+        got = wand_topk(
+            segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
+            terms, k=5, zone_width=32, no_prune_blocks=0, cand_limit=limit,
+            stats_out=stats,
+        ).collect()
+        assert stats["nonessential_terms"], f"split did not activate ({mode}): {stats}"
+        assert stats["cand_mode"] == mode, stats
+        assert "tok5" in stats["essential_terms"], stats
+        results[mode] = [(r["docID"], round(r["score"], 9)) for r in got]
+        assert [r["docID"] for r in got] == [d for d, _ in exp], mode
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9), mode
+        if mode == "kernel":
+            assert stats["cand_count"] > 0
+    assert results["kernel"] == results["flag"]
+
+    unpruned = wand_topk(
+        segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
+        terms, k=5, prune=False,
+    ).collect()
+    assert results["kernel"] == [(r["docID"], round(r["score"], 9)) for r in unpruned]
