@@ -215,6 +215,42 @@ def q_bm25_weighted_top10(spark, sf_dir):
     return _ranked(_bm25_scores_rounded(_index(spark, sf_dir), Q_BM25_W), "score", "doc_id", K)
 
 
+# batch multi-query BM25: one postings pass scores the whole query set
+# (offline eval / hard-negative-mining shape; query/batch.py)
+Q_BATCH: dict[int, dict[str, float]] = {
+    1: Q_BM25,
+    2: {"scan": 2.0, "merge": 1.0, "vector": 3.0},
+    3: {"the": 1.0, "data": 2.0},
+}
+
+
+def q_bm25_batch_top5(spark, sf_dir):
+    """Per-query top-5 for a batch of queries in ONE postings scan +
+    one (query_id, docID) exchange (query/batch.py bm25_topk_batch); the
+    reference would run these as separate requests. Ranks on the rounded
+    score like every other ranked entry (fp-tie robustness vs DuckDB)."""
+    from neural_search_spark.query.batch import bm25_score_batch, per_query_topk
+
+    t = _index(spark, sf_dir)
+    rows = [
+        (qid, term, w)
+        for qid, terms in Q_BATCH.items()
+        for term, w in sorted(terms.items())
+    ]
+    queries = spark.createDataFrame(rows, "query_id long, term string, weight double")
+    scores = bm25_score_batch(t.postings, t.doclens, t.term_stats, t.meta, queries)
+    scores = scores.withColumnRenamed("docID", "doc_id").withColumn(
+        "score", F.round("score", 6)
+    )
+    ranked = per_query_topk(scores.withColumnRenamed("doc_id", "docID"), k=5)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        "score",
+    )
+
+
 def q_bm25_wand_top10(spark, sf_dir):
     """Same BM25 query, but executed over the compressed block segments with
     block-max WAND pruning (query/segment_search.py) — proves the segment
@@ -774,6 +810,35 @@ def _oracle_bm25(tokens: dict[str, float], k: int = K) -> str:
     )
 
 
+def _oracle_bm25_batch(qdefs: dict[int, dict[str, float]], k: int) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}', {float(w)!r}::DOUBLE)"
+        for qid, terms in sorted(qdefs.items())
+        for t, w in sorted(terms.items())
+    )
+    return f"""with {SQL_INDEX_CTES},
+  qb as (select * from (values {vals}) as t(query_id, term, w)),
+  scored as (
+    select q.query_id::BIGINT as query_id, p.doc_id,
+           round(sum(q.w * ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                     * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) as score
+    from postings p
+    join qb q on p.term = q.term
+    join stats s on p.term = s.term
+    join doclens d on p.doc_id = d.doc_id
+    cross join meta m
+    group by 1, 2
+  ),
+  ranked as (
+    select query_id,
+           row_number() over (partition by query_id
+                              order by score desc, doc_id asc)::BIGINT as rank,
+           doc_id, score
+    from scored
+  )
+  select query_id, rank, doc_id, score from ranked where rank <= {k}"""
+
+
 def _sql_norm(cte: str, normalization: str) -> str:
     if normalization == "min_max":
         return f"""(
@@ -1131,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_meta": q_collection_meta,
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
+        "bm25_batch_top5": q_bm25_batch_top5,
         "bm25_wand_top10": q_bm25_wand_top10,
         "bm25_prefilter_top10": q_bm25_prefilter_top10,
         "bm25_post_filter_top10": q_bm25_post_filter_top10,
@@ -1201,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_meta": f"with {SQL_INDEX_CTES} select n, round(avgdl, 6) as avgdl from meta",
         "bm25_top10": _oracle_bm25(Q_BM25),
         "bm25_weighted_top10": _oracle_bm25(Q_BM25_W),
+        "bm25_batch_top5": _oracle_bm25_batch(Q_BATCH, k=5),
         "bm25_wand_top10": _oracle_bm25(Q_BM25),
         "bm25_prefilter_top10": f"""with {SQL_INDEX_CTES},
   {_sql_bm25_scored(Q_BM25, "s_all")},

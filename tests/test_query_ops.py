@@ -703,3 +703,36 @@ def test_dsl_hybrid_fused_single_postings_scan(spark, transcripts, index_tables,
     ]
     assert len(data_scans) == 1, plan
     assert res.count() == 10
+
+
+def test_bm25_batch_matches_per_query(spark, index_tables):
+    """Batch multi-query top-k (one postings pass for the whole query set)
+    must equal running bm25_topk once per query, including weights and
+    docID tie-breaks; every query_id present, ranks 1..k dense."""
+    from neural_search_spark.query.batch import bm25_topk_batch
+    from neural_search_spark.query.bm25 import bm25_topk
+
+    t = index_tables
+    qdefs = {
+        101: {"the": 1.0, "spark": 1.0, "query": 1.0},
+        102: {"data": 2.0, "index": 1.0},
+        103: {"tok5": 1.0},
+        104: {"zzz_missing": 1.0, "cache": 1.0},
+    }
+    qrows = [(qid, term, w) for qid, terms in qdefs.items() for term, w in sorted(terms.items())]
+    queries = spark.createDataFrame(qrows, "query_id long, term string, weight double")
+
+    got = bm25_topk_batch(
+        t.postings, t.doclens, t.term_stats, t.meta, queries, k=5
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    for qid, terms in qdefs.items():
+        exp = bm25_topk(t.postings, t.doclens, t.term_stats, t.meta, terms, k=5).collect()
+        rows = by_q.get(qid, [])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1)), qid
+        assert [(r["docID"], round(r["score"], 9)) for r in rows] == [
+            (r["docID"], round(r["score"], 9)) for r in exp
+        ], qid
