@@ -51,6 +51,11 @@ EMB_DIM, LSH_PLANES, LSH_PROBE = 64, 8, 2
 NEURAL_MIN_SCORE = 0.15
 RESCORE_OVERSAMPLE, RESCORE_PROBE = 4, 3
 EMB_DUP_THRESHOLD, EMB_DUP_BANDS, EMB_DUP_MAXH = 0.4, 4, 3
+# dup-pair codes are FINER than the top-k probe index (16 planes vs 8):
+# band width scales with code bits (16/4 = 4 bits -> 16 bucket values per
+# band), keeping candidate buckets ~N/16 instead of ~N/4 — the knob that
+# keeps the hamming-ball candidate stage sub-quadratic as N grows
+EMB_DUP_PLANES = 16
 IVF_CLUSTERS, IVF_NPROBE = 16, 4
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 
@@ -414,9 +419,8 @@ def q_embedding_dup_pairs(spark, sf_dir):
     from neural_search_spark.ops.similarity import embedding_dup_pairs, lsh_index
 
     emb = _emb(spark, sf_dir)
-    indexed = lsh_index(emb, dim=EMB_DIM, n_planes=LSH_PLANES)
     return embedding_dup_pairs(
-        indexed, dim=EMB_DIM, threshold=EMB_DUP_THRESHOLD, n_planes=LSH_PLANES,
+        emb, dim=EMB_DIM, threshold=EMB_DUP_THRESHOLD, n_planes=EMB_DUP_PLANES,
         bands=EMB_DUP_BANDS, max_hamming=EMB_DUP_MAXH,
     ).withColumn("cosine", F.round("cosine", 6))
 
@@ -1071,11 +1075,11 @@ def _oracle_dedup_clusters() -> str:
 def _oracle_embedding_dup_pairs() -> str:
     from neural_search_spark.ops.similarity import _plane_matrix
 
-    mat = _plane_matrix(EMB_DIM, LSH_PLANES)
+    mat = _plane_matrix(EMB_DIM, EMB_DUP_PLANES)
 
     def bucket_expr(vec: str) -> str:
         parts = []
-        for p in range(LSH_PLANES):
+        for p in range(EMB_DUP_PLANES):
             arr = "[" + ",".join(str(int(v)) for v in mat[p]) + "]::DOUBLE[]"
             parts.append(
                 f"(case when list_dot_product({vec}, {arr}) >= 0 then 1::BIGINT else 0::BIGINT end << {p})"
