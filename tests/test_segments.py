@@ -280,3 +280,43 @@ def test_wand_maxscore_split_kernel_and_flag(spark, transcripts, index_tables, s
         terms, k=5, prune=False,
     ).collect()
     assert results["kernel"] == [(r["docID"], round(r["score"], 9)) for r in unpruned]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    data=st.data(),
+)
+def test_wand_randomized_rank_identity(spark, index_tables, segments, data):
+    """Property: for random query-term subsets, weights and k, the pruned
+    block-max path (zone machinery forced, MAXSCORE split free to activate
+    or not) is rank- and score-identical to the relational join-agg.
+    Derandomized so the driver's pytest run is reproducible."""
+    from neural_search_spark.data.transcripts import VOCAB
+
+    m = index_tables.meta.first()
+    n_terms = data.draw(st.integers(min_value=1, max_value=5), label="n_terms")
+    terms = {}
+    for i in range(n_terms):
+        t = data.draw(st.sampled_from(sorted(VOCAB)), label=f"term{i}")
+        w = data.draw(
+            st.floats(min_value=0.25, max_value=8.0, allow_nan=False, width=32),
+            label=f"w{i}",
+        )
+        terms[t] = float(w)
+    k = data.draw(st.integers(min_value=1, max_value=10), label="k")
+
+    rel = bm25_topk(
+        index_tables.postings, index_tables.doclens, index_tables.term_stats,
+        index_tables.meta, terms, k=k,
+    ).collect()
+    got = wand_topk(
+        segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
+        terms, k=k, zone_width=32, no_prune_blocks=0,
+    ).collect()
+    assert [r["docID"] for r in got] == [r["docID"] for r in rel], terms
+    for g, r in zip(got, rel):
+        assert g["score"] == pytest.approx(r["score"], rel=1e-9), terms
