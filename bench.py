@@ -149,14 +149,23 @@ def main() -> None:
     stage_trials: list[dict] = []
     query_trials: list[dict[str, float]] = []
     n_blocks = 0
-    for trial in range(n_trials):
-        log(f"--- trial {trial + 1}/{n_trials}: build ---")
+    # adaptive extra trials: when the interleaved build walls disagree by
+    # >1.5x the host window is contended (this box swings 2-5x between
+    # identical runs — BENCH.md §1.2) and the min of 2 is still likely
+    # inflated; spend up to 2 extra trials hunting a clean window
+    max_trials = max(n_trials, int(os.environ.get("BENCH_MAX_TRIALS", n_trials + 2)))
+    trial = 0
+    while trial < n_trials or (
+        trial < max_trials and max(build_walls) / min(build_walls) > 1.5
+    ):
+        log(f"--- trial {trial + 1} (of {n_trials}, max {max_trials}): build ---")
         wall, stages, n_blocks = run_build(spark, n_turns, seg_path)
         build_walls.append(round(wall, 3))
         stage_trials.append(stages)
         log(f"  build wall: {wall:.1f}s = {n_turns / wall:.0f} turns/s")
-        log(f"--- trial {trial + 1}/{n_trials}: queries ---")
+        log(f"--- trial {trial + 1}: queries ---")
         query_trials.append(run_queries(qfns, spark, sf_dir))
+        trial += 1
 
     build_sec = min(build_walls)
     best = build_walls.index(build_sec)
@@ -184,7 +193,7 @@ def main() -> None:
             "posting_blocks": n_blocks,
             "stages": stage_trials[best],
         },
-        "trials": n_trials,
+        "trials": len(build_walls),
         "all_walls": {
             "build": build_walls,
             "queries": query_trials,
