@@ -256,6 +256,80 @@ def q_bm25_batch_top5(spark, sf_dir):
     )
 
 
+Q_SPARSE_BATCH: dict[int, dict[str, float]] = {
+    1: Q_SPARSE,
+    2: {"spark": 1.0, "data": 0.5, "merge": 2.0},
+    3: {"window": 1.2, "stream": 0.8, "the": 0.1},
+}
+
+Q_HY_BATCH: dict[int, list[dict[str, float]]] = {
+    1: [Q_HY_A, Q_HY_B],
+    2: [{"scan": 1.0, "merge": 2.0}, {"the": 1.0, "data": 1.0}],
+    3: [{"vector": 1.0}, {"filter": 1.0, "join": 1.0}],
+}
+
+
+def q_sparse_batch_top5(spark, sf_dir):
+    """Per-query sparse top-5 for a batch of neural_sparse queries in ONE
+    doc-weight pass (query/batch.py sparse_score_batch) — the offline
+    eval / bulk-re-scoring shape for sparse retrieval."""
+    from neural_search_spark.query.batch import per_query_topk, sparse_score_batch
+
+    t = _index(spark, sf_dir)
+    weights = t.postings.select("term", "docID", F.col("tf").cast("double").alias("weight"))
+    rows = [
+        (qid, term, w)
+        for qid, terms in Q_SPARSE_BATCH.items()
+        for term, w in sorted(terms.items())
+    ]
+    queries = spark.createDataFrame(rows, "query_id long, term string, weight double")
+    scores = sparse_score_batch(weights, queries, quantize=False).withColumn(
+        "score", F.round("score", 6)
+    )
+    return per_query_topk(scores, k=5).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        "score",
+    )
+
+
+def q_hybrid_batch_top5(spark, sf_dir):
+    """Per-query hybrid top-5 (min_max + arithmetic mean) for a batch of
+    2-sub-query hybrid queries: ONE postings scan scores every sub-query of
+    every query (query/batch.py fused_subquery_scores_batch), then the
+    normalize/combine pipeline runs keyed by (query_id, subquery_idx).
+    Sub-scores rounded to 6dp pre-top-k so both engines bound and
+    normalize identical inputs (same parity rule as the single hybrids)."""
+    from neural_search_spark.query.batch import fused_subquery_scores_batch, per_query_topk
+
+    t = _index(spark, sf_dir)
+    rows = [
+        (qid, si, term, w)
+        for qid, subs in Q_HY_BATCH.items()
+        for si, sub in enumerate(subs)
+        for term, w in sorted(sub.items())
+    ]
+    queries = spark.createDataFrame(
+        rows, "query_id long, subquery_idx int, term string, weight double"
+    )
+    fused = fused_subquery_scores_batch(t.postings, t.doclens, t.term_stats, t.meta, queries)
+    rounded = fused.withColumn("score", F.round("score", 6))
+    bounded = per_query_topk(rounded, K, key=["query_id", "subquery_idx"]).drop("rank")
+    normalized = hybrid.normalize_scores(
+        bounded, "min_max", partition_cols=("query_id", "subquery_idx")
+    )
+    combined = hybrid.combine_scores(
+        normalized, 2, "arithmetic_mean", group_cols=("query_id", "docID")
+    ).withColumn("score", F.round("score", 6))
+    return per_query_topk(combined, k=5).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        "score",
+    )
+
+
 def q_bm25_wand_top10(spark, sf_dir):
     """Same BM25 query, but executed over the compressed block segments with
     block-max WAND pruning (query/segment_search.py) — proves the segment
@@ -843,6 +917,68 @@ def _oracle_bm25_batch(qdefs: dict[int, dict[str, float]], k: int) -> str:
   select query_id, rank, doc_id, score from ranked where rank <= {k}"""
 
 
+def _oracle_sparse_batch(qdefs: dict[int, dict[str, float]], k: int) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}', {float(w)!r}::DOUBLE)"
+        for qid, terms in sorted(qdefs.items())
+        for t, w in sorted(terms.items())
+    )
+    return f"""with {SQL_INDEX_CTES},
+  qb as (select * from (values {vals}) as t(query_id, term, w)),
+  scored as (
+    select q.query_id::BIGINT as query_id, p.doc_id, round(sum(q.w * p.tf), 6) as score
+    from postings p join qb q on p.term = q.term
+    group by 1, 2
+  ),
+  ranked as (
+    select query_id,
+           row_number() over (partition by query_id
+                              order by score desc, doc_id asc)::BIGINT as rank,
+           doc_id, score
+    from scored
+  )
+  select query_id, rank, doc_id, score from ranked where rank <= {k}"""
+
+
+def _oracle_hybrid_batch(qdefs: dict[int, list[dict[str, float]]], k: int) -> str:
+    """Per-query replication of the single-hybrid oracle (min_max +
+    arithmetic mean over two sub-queries), union-tagged by query_id."""
+    blocks, finals = [], []
+    for qid, (qa, qb) in sorted(qdefs.items()):
+        blocks.append(_sql_bm25_scored(qa, f"sa{qid}").lstrip().rstrip())
+        blocks.append(_sql_bm25_scored(qb, f"sb{qid}").lstrip().rstrip())
+        blocks.append(
+            f"ta{qid} as (select doc_id, score from sa{qid} "
+            f"order by score desc, doc_id asc limit {K})"
+        )
+        blocks.append(
+            f"tb{qid} as (select doc_id, score from sb{qid} "
+            f"order by score desc, doc_id asc limit {K})"
+        )
+        blocks.append(f"na{qid} as {_sql_norm(f'ta{qid}', 'min_max')}")
+        blocks.append(f"nb{qid} as {_sql_norm(f'tb{qid}', 'min_max')}")
+        blocks.append(
+            f"""combined{qid} as (
+    select {qid}::BIGINT as query_id, coalesce(na.doc_id, nb.doc_id) as doc_id,
+           round((coalesce(na.nscore, 0.0) + coalesce(nb.nscore, 0.0)) / 2, 6) as score
+    from na{qid} na full outer join nb{qid} nb on na.doc_id = nb.doc_id
+  )"""
+        )
+        finals.append(f"select * from combined{qid}")
+    union = " union all ".join(finals)
+    return f"""with {SQL_INDEX_CTES},
+  {", ".join(blocks)},
+  allq as ({union}),
+  ranked as (
+    select query_id,
+           row_number() over (partition by query_id
+                              order by score desc, doc_id asc)::BIGINT as rank,
+           doc_id, score
+    from allq
+  )
+  select query_id, rank, doc_id, score from ranked where rank <= {k}"""
+
+
 def _sql_norm(cte: str, normalization: str) -> str:
     if normalization == "min_max":
         return f"""(
@@ -1201,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
         "bm25_batch_top5": q_bm25_batch_top5,
+        "sparse_batch_top5": q_sparse_batch_top5,
+        "hybrid_batch_top5": q_hybrid_batch_top5,
         "bm25_wand_top10": q_bm25_wand_top10,
         "bm25_prefilter_top10": q_bm25_prefilter_top10,
         "bm25_post_filter_top10": q_bm25_post_filter_top10,
@@ -1272,6 +1410,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _oracle_bm25(Q_BM25),
         "bm25_weighted_top10": _oracle_bm25(Q_BM25_W),
         "bm25_batch_top5": _oracle_bm25_batch(Q_BATCH, k=5),
+        "sparse_batch_top5": _oracle_sparse_batch(Q_SPARSE_BATCH, k=5),
+        "hybrid_batch_top5": _oracle_hybrid_batch(Q_HY_BATCH, k=5),
         "bm25_wand_top10": _oracle_bm25(Q_BM25),
         "bm25_prefilter_top10": f"""with {SQL_INDEX_CTES},
   {_sql_bm25_scored(Q_BM25, "s_all")},

@@ -14,11 +14,14 @@ MIN per stage and per query (the protocol of tools/scaling_bench.py). The
 min of interleaved trials estimates un-contended cost; all raw walls are
 reported alongside so the variance itself is visible in the record.
 
-Prints exactly ONE JSON line on stdout:
+Prints exactly ONE COMPACT JSON line on stdout:
   {"metric": ..., "value": <min build + Σ min query sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "index_build": {...},
-   "all_walls": {...}}
-All diagnostics go to stderr. Scaling-efficiency evidence across two
+   "queries": {name: sec}, "sf": ..., "index_build": {...}, "trials": N}
+The full per-trial raw walls (every build + every query, all trials) go to
+the sidecar file .bench_walls.json next to this script AND to stderr — NOT
+to stdout: the driver captures only a bounded tail of stdout, and round 3's
+record was truncated to parsed:null because all_walls pushed the line past
+that capture (VERDICT r3 item 1). Scaling-efficiency evidence across two
 parallelism levels is produced by tools/scaling_bench.py (see BENCH.md).
 """
 
@@ -156,7 +159,9 @@ def main() -> None:
     max_trials = max(n_trials, int(os.environ.get("BENCH_MAX_TRIALS", n_trials + 2)))
     trial = 0
     while trial < n_trials or (
-        trial < max_trials and max(build_walls) / min(build_walls) > 1.5
+        trial < max_trials
+        and build_walls
+        and max(build_walls) / min(build_walls) > 1.5
     ):
         log(f"--- trial {trial + 1} (of {n_trials}, max {max_trials}): build ---")
         wall, stages, n_blocks = run_build(spark, n_turns, seg_path)
@@ -194,12 +199,23 @@ def main() -> None:
             "stages": stage_trials[best],
         },
         "trials": len(build_walls),
-        "all_walls": {
-            "build": build_walls,
-            "queries": query_trials,
-        },
     }
-    print(json.dumps(out), flush=True)
+    # Raw per-trial walls: sidecar file + stderr, never stdout (the driver
+    # captures a bounded stdout tail; a long line truncates the record).
+    walls = {"build": build_walls, "queries": query_trials}
+    walls_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_walls.json"
+    )
+    with open(walls_path, "w") as f:
+        json.dump(walls, f)
+    log(f"all_walls: {json.dumps(walls)}")
+    log(f"all_walls written to {walls_path}")
+    line = json.dumps(out)
+    if len(line) >= 1900:  # stay inside the driver's stdout tail capture
+        out["index_build"].pop("stages", None)
+        line = json.dumps(out)
+        log(f"stdout line trimmed (stages dropped) to {len(line)} chars")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

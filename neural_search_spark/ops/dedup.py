@@ -365,27 +365,38 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, rep) — connected-component labels over an undirected pair list,
     rep = min id reachable from the node (the canonical dedup survivor).
 
-    Iterative min-label propagation, fully distributed: each round joins
-    the current labels across the symmetric edge list and takes the min
-    neighbor label; terminates when a round changes nothing. Rounds needed
-    = graph diameter — for LSH dedup graphs that is tiny by construction
-    (buckets emit cliques or stars against the bucket min-id, so duplicate
-    clusters have diameter ≤ ~2·bands). Each round is one shuffle on id;
-    lineage is cut per round with localCheckpoint so the plan does not
-    deepen. A 10⁶-member cluster costs the same rounds as a 10-member one
-    — rounds scale with diameter, not cluster size.
+    Each round runs (1) min-label propagation — join current labels across
+    the symmetric edge list, take the min neighbor label — then (2) POINTER
+    SHORTCUTTING — rep := min(rep, rep[rep]) — and terminates when a round
+    changes nothing. Propagation alone needs diameter-many rounds; the
+    shortcut step doubles the effective reach per round (rep already
+    summarizes its own reachable set), so convergence is O(log diameter):
+    an adversarial high-diameter pair graph (chains produced by star-guard
+    truncation overlapping across bands, or pathological near-dup chains)
+    converges in ~log2(d) rounds instead of d. For typical LSH dedup graphs
+    (diameter ≤ ~2·bands by construction) both are fast; the log bound is
+    the 100 TB safety net. Each round is two shuffles on id; lineage is cut
+    per round with localCheckpoint so the plan does not deepen. A
+    10⁶-member cluster costs the same rounds as a 10-member one — rounds
+    scale with log(diameter), not cluster size.
 
     The driver-side loop is control flow only (one Long per round crosses
-    to the driver); no data is ever collected.
+    to the driver); no data is ever collected. If `stats` is given,
+    stats["rounds"] records the executed round count.
     """
     # the union evaluates `pairs` twice (+once more via the self-loop
     # branch); callers typically hand us the raw LSH pipeline — pin it so
-    # the candidate DAG runs once
-    pairs = pairs.persist()
+    # the candidate DAG runs once. Only persist (and later unpersist) if the
+    # caller has not already persisted the frame — unconditionally
+    # unpersisting would silently evict a cache the caller still relies on.
+    we_persisted = not pairs.storageLevel.useMemory and not pairs.storageLevel.useDisk
+    if we_persisted:
+        pairs = pairs.persist()
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
@@ -406,28 +417,44 @@ def connected_components(
     # Σrep (exact decimal — int64 ids at 10^12-row scale would overflow a
     # LongType sum) is strictly decreasing iff any label changed this round.
     # One tiny agg job per round, no change-flag join, nothing but a scalar
-    # crosses to the driver.
+    # crosses to the driver. Σ unchanged across a full (propagate+shortcut)
+    # round ⇒ fixpoint of plain propagation ⇒ rep is the component min (the
+    # shortcut only accelerates; it cannot introduce new fixpoints — every
+    # rep value is itself a node id, so rep[rep] is always defined).
     def _sum_rep(lb):
         return lb.agg(F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")).first()["s"]
 
     prev_sum = _sum_rep(labels)
+    rounds = 0
     try:
         for _ in range(max_iter):
-            updated = (
+            propagated = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
                 .agg(F.min("rep").alias("rep"))
                 .withColumnRenamed("src", "id")
+            )
+            # pointer shortcut: rep := min(rep, rep-of-rep). rep values are
+            # node ids present in `labels`, so the lookup join is total; an
+            # inner join keeps exactly one row per id.
+            lk = labels.select(F.col("id").alias("_rid"), F.col("rep").alias("_rrep"))
+            updated = (
+                propagated.join(lk, propagated.rep == lk._rid)
+                .select("id", F.least("rep", "_rrep").alias("rep"))
             ).localCheckpoint()
+            rounds += 1
             cur_sum = _sum_rep(updated)
             labels = updated
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+        if stats is not None:
+            stats["rounds"] = rounds
         return labels
     finally:
         edges.unpersist()
-        pairs.unpersist()
+        if we_persisted:
+            pairs.unpersist()
 
 
 def dedup_near(

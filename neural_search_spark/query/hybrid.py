@@ -127,7 +127,11 @@ def fused_bm25_subquery_scores(
     )
 
 
-def normalize_scores(scores: DataFrame, technique: str = "min_max") -> DataFrame:
+def normalize_scores(
+    scores: DataFrame,
+    technique: str = "min_max",
+    partition_cols: tuple[str, ...] = ("subquery_idx",),
+) -> DataFrame:
     """(subquery_idx, docID, score) → adds `nscore`. Stats are computed per
     sub-query over the (already top-k-bounded) result lists.
 
@@ -137,8 +141,11 @@ def normalize_scores(scores: DataFrame, technique: str = "min_max") -> DataFrame
     included) once per reference — the window keeps the fused hybrid plan
     at exactly ONE postings scan. The windowed input is the bounded
     ≤ n_subqueries·k rows, so the single-partition-per-subquery window is
-    coordinator-scale by construction."""
-    w = Window.partitionBy("subquery_idx")
+    coordinator-scale by construction.
+
+    `partition_cols` lets batch callers normalize per (query_id,
+    subquery_idx) instead — same plan shape, one window."""
+    w = Window.partitionBy(*partition_cols)
     if technique == "min_max":
         mn = F.min("score").over(w)
         mx = F.max("score").over(w)
@@ -161,9 +168,14 @@ def combine_scores(
     n_subqueries: int,
     technique: str = "arithmetic_mean",
     weights: list[float] | None = None,
+    group_cols: tuple[str, ...] = ("docID",),
 ) -> DataFrame:
     """(subquery_idx, docID, nscore) → (docID, score) combined. Missing
-    sub-query scores are 0.0 (ScoreCombiner.java:271 zero-init)."""
+    sub-query scores are 0.0 (ScoreCombiner.java:271 zero-init).
+
+    `group_cols` lets batch callers combine per (query_id, docID); every
+    query in such a batch must carry exactly `n_subqueries` sub-queries
+    (the zero-fill for absent pivot columns assumes a uniform width)."""
     if weights is not None:
         if len(weights) != n_subqueries:
             raise ValueError("number of weights must match number of sub-queries")
@@ -174,7 +186,7 @@ def combine_scores(
         ws = [1.0] * n_subqueries
 
     pivoted = (
-        normalized.groupBy("docID")
+        normalized.groupBy(*group_cols)
         .pivot("subquery_idx", list(range(n_subqueries)))
         .agg(F.first("nscore"))
     )
@@ -195,7 +207,7 @@ def combine_scores(
     else:
         raise ValueError(f"unknown combination technique: {technique}")
 
-    return pivoted.select("docID", combined.alias("score"))
+    return pivoted.select(*group_cols, combined.alias("score"))
 
 
 def hybrid_topk(

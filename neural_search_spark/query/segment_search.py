@@ -35,8 +35,11 @@ set-at-a-time analog of BMW's aligned block boundaries):
     the candidate docID set INSIDE the kernel (sorted-array searchsorted
     against a broadcast), so head-term postings never cross the Arrow hop
     or the score exchange; when the candidate bound (Σ df of essential
-    terms) exceeds `cand_limit`, they are decoded in full and candidacy
-    is enforced by a ≥1-essential-part flag in the aggregation.
+    terms) exceeds `cand_limit`, the filter goes DISTRIBUTED instead:
+    candidate zones (a DataFrame, never collected) still prune NE blocks,
+    and decoded NE parts are left-semi-joined against the candidate
+    docIDs before the score exchange — the kernel-filter win survives any
+    candidate count, with no driver-side materialization.
  6. Exact score = Σ decoded contributions per doc; top-k, ties by docID
     asc (ScoreCombiner.java:37-50 semantics).
 
@@ -146,8 +149,9 @@ def wand_topk(
     the decode it saves. When the MAXSCORE split activates (≥1
     non-essential term) a fourth job materializes the candidate docIDs
     for the kernel filter (≤ `cand_limit` int64s to the driver; above
-    that the flag fallback keeps 3 jobs). `term_stats` is accepted for
-    API compatibility but never scanned."""
+    that the distributed semi-join fallback keeps 3 jobs and never
+    collects candidates). `term_stats` is accepted for API compatibility
+    but never scanned."""
     import time as _time
 
     spark = segments.sparkSession
@@ -351,6 +355,7 @@ def wand_topk(
         cand_mode = None
         n_cand = 0
         ne_keys_df = None
+        cand_bc = None
         if not ne_terms:
             total = e_parts.groupBy("docID").agg(F.sum("part").alias("score"))
             _t0 = _time.time()
@@ -411,32 +416,60 @@ def wand_topk(
                         .agg(F.sum("part").alias("score"))
                     )
                 else:
-                    # candidate set too large to broadcast: decode NE fully
-                    # and enforce the ≥1-essential-posting rule in the agg
-                    cand_mode = "flag"
-                    ne_keys_df = ne_cls.select("term", "salt", "blockID")
+                    # Candidate set too large for a driver-side broadcast:
+                    # stay fully DISTRIBUTED. (a) NE narrow blocks are still
+                    # zone-pruned — candidate zones come from e_parts as a
+                    # DataFrame (≤ docID-space/zone_width rows, tiny even at
+                    # 10^12 docs) via left-semi, never collected; (b)
+                    # candidacy is enforced by left-semi-joining decoded NE
+                    # parts against the candidate docIDs BEFORE the score
+                    # exchange, so non-candidate head-term postings never
+                    # enter the final aggregation (AQE picks broadcast vs
+                    # shuffle-hash for the semi joins by runtime size).
+                    # Results are identical to the kernel path: a doc is a
+                    # candidate iff it carries ≥1 essential posting.
+                    cand_mode = "semijoin"
+                    cand_zones_df = e_parts.select(
+                        (F.col("docID") / zone_width).cast("long").alias("zone")
+                    ).distinct()
+                    ne_narrow_keep = (
+                        ne_cls.where(~F.col("_wide"))
+                        .select(
+                            "term", "salt", "blockID",
+                            F.explode(F.sequence("_zlo", "_zhi")).alias("zone"),
+                        )
+                        .join(cand_zones_df, "zone", "left_semi")
+                        .select("term", "salt", "blockID")
+                        .distinct()
+                    )
+                    ne_keys_df = ne_narrow_keep.unionByName(
+                        ne_cls.where(F.col("_wide")).select("term", "salt", "blockID")
+                    )
                     ne_decode = qblocks.join(
-                        ne_keys_df,
-                        ["term", "salt", "blockID"],
-                        "left_semi",
+                        ne_keys_df, ["term", "salt", "blockID"], "left_semi"
                     )
                     ne_parts = _decode_and_score(
                         ne_decode.select("term", "w_idf", "n", "docids", "tfs", "dls"),
                         avgdl, k1, b,
                     )
+                    ne_kept = ne_parts.join(
+                        e_parts.select("docID").distinct(), "docID", "left_semi"
+                    )
                     total = (
-                        e_parts.withColumn("_e", F.lit(1))
-                        .unionByName(ne_parts.withColumn("_e", F.lit(0)))
+                        e_parts.unionByName(ne_kept)
                         .groupBy("docID")
-                        .agg(F.sum("part").alias("score"), F.max("_e").alias("_e"))
-                        .where(F.col("_e") == 1)
-                        .drop("_e")
+                        .agg(F.sum("part").alias("score"))
                     )
                 _t0 = _time.time()
                 rows = _ranked(total, k).collect()
                 phases["prune_decode_score"] = round(_time.time() - _t0, 3)
             finally:
                 e_parts.unpersist()
+                if cand_bc is not None:
+                    # the kernel broadcast is dead once rows are collected;
+                    # without this, executor+driver copies accrue across
+                    # queries in a long-lived session (ADVICE r3)
+                    cand_bc.destroy()
         if stats_out is not None:
             _t0 = _time.time()
             n_zones = zstats.count()

@@ -165,6 +165,42 @@ def test_connected_components_and_dedup_near(spark, dup_docs):
     assert survivors == {0, 1, 5, 6, 7, 8, 9, 10}
 
 
+def test_connected_components_log_rounds_on_path_graph(spark):
+    """Adversarial high-diameter graph (a 10k-node path — the worst case
+    star-guard chains + band overlaps can produce): the pointer-shortcut
+    step must converge in O(log2 diameter) rounds, not diameter rounds,
+    and still land every node on the component min."""
+    from neural_search_spark.ops.dedup import connected_components
+
+    n = 10_000  # path 0-1-...-9999, diameter n-1
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).repartition(8)
+    stats: dict = {}
+    labels = connected_components(pairs, max_iter=30, stats=stats)
+    bad = labels.where(F.col("rep") != 0).count()
+    assert bad == 0
+    assert labels.count() == n
+    # ⌈log2(9999)⌉ = 14; +2 covers the shortcut-lag and the final
+    # convergence-detection round. Plain propagation would need 9999.
+    assert stats["rounds"] <= 16, stats
+
+
+def test_connected_components_respects_caller_persist(spark):
+    """If the caller persisted `pairs`, connected_components must not evict
+    that cache on exit (ADVICE r3)."""
+    from neural_search_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long").persist()
+    try:
+        pairs.count()
+        comp = {r["id"]: r["rep"] for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1}
+        assert pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    finally:
+        pairs.unpersist()
+
+
 def test_dedup_near_lsh_end_to_end(spark, dup_docs):
     """docs → LSH pairs → clusters: the exact/near dup groups of the
     fixture collapse to their min-id survivors."""

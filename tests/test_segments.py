@@ -243,13 +243,15 @@ def test_store_topk_auto_strategy(spark, tmp_path):
         store.topk(["the"], strategy="bogus")
 
 
-def test_wand_maxscore_split_kernel_and_flag(spark, transcripts, index_tables, segments):
+def test_wand_maxscore_split_kernel_and_semijoin(spark, transcripts, index_tables, segments):
     """A query mixing dense head terms with an upweighted rare term must
     activate the MAXSCORE essential/non-essential split (the heads' summed
     upper bounds fall below θ), stay rank- and score-identical to both the
     unpruned decode and the brute-force oracle on BOTH non-essential
-    handling paths (kernel docID filter / ≥1-essential flag), and decode
-    fewer non-essential blocks than the full query would."""
+    handling paths — the kernel docID filter (candidate set fits the
+    driver broadcast) AND the distributed semi-join fallback (cand_limit=0
+    forces the >cand_limit regime, where candidates are never collected)
+    — and decode fewer non-essential blocks than the full query would."""
     m = index_tables.meta.first()
     docs = {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
     # heavy weight on the rare term drives θ far above the heads' UBs
@@ -257,7 +259,7 @@ def test_wand_maxscore_split_kernel_and_flag(spark, transcripts, index_tables, s
     exp = oracle.topk(oracle.bm25_scores(docs, terms), 5)
 
     results = {}
-    for mode, limit in (("kernel", 2_000_000), ("flag", 0)):
+    for mode, limit in (("kernel", 2_000_000), ("semijoin", 0)):
         stats: dict = {}
         got = wand_topk(
             segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
@@ -273,7 +275,10 @@ def test_wand_maxscore_split_kernel_and_flag(spark, transcripts, index_tables, s
             assert r["score"] == pytest.approx(s, rel=1e-9), mode
         if mode == "kernel":
             assert stats["cand_count"] > 0
-    assert results["kernel"] == results["flag"]
+        else:
+            # the distributed path still zone-prunes NE blocks
+            assert stats["blocks_ne_decoded"] >= 0
+    assert results["kernel"] == results["semijoin"]
 
     unpruned = wand_topk(
         segments, index_tables.term_stats, int(m["N"]), float(m["avgdl"]),
