@@ -84,6 +84,8 @@ QNAMES = [
     "bm25_weighted_top10",
     "bm25_wand_top10",
     "bm25_batch_top5",
+    "sparse_batch_top5",
+    "hybrid_batch_top5",
     "two_phase_sparse_top10",
     "hybrid_minmax_arithmetic",
     "hybrid_neural_match",

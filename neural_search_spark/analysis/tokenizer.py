@@ -35,7 +35,7 @@ DUCKDB_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 # re. `uax_url_email` approximates Lucene's UAX29URLEmailTokenizer on its
 # defining observable (URLs and emails survive as single tokens; everything
 # else tokenizes like `standard`) — full UAX#29 word-boundary rules need ICU
-# and are a DOCUMENTED divergence. The URL branch covers http(s) and
+# and are a DOCUMENTED divergence. The URL branch covers http(s), ftp and
 # scheme-less www. forms and trims trailing sentence punctuation
 # (.,;:!?)]) so "see https://x.y/z)." tokenizes the URL without the ")."
 # — matching Lucene's behavior for URLs adjacent to punctuation. `classic`
@@ -47,7 +47,7 @@ WORD_TOKENIZERS: dict[str, tuple[str, bool]] = {
     "letter": ("[A-Za-z]+", False),  # letter runs, case preserved
     "whitespace": ("[^ \\t\\n\\r\\f]+", False),  # non-whitespace runs
     "uax_url_email": (
-        "(?:https?://|www\\.)[^ \\t\\n\\r\\f]*[^ \\t\\n\\r\\f.,;:!?)\\]]"
+        "(?:https?://|ftp://|www\\.)[^ \\t\\n\\r\\f]*[^ \\t\\n\\r\\f.,;:!?)\\]]"
         "|[a-z0-9][a-z0-9._%+-]*@[a-z0-9.-]+\\.[a-z]{2,}"
         "|[a-z0-9]+",
         True,

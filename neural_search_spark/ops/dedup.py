@@ -180,6 +180,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    pinned_out: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
 
@@ -207,8 +208,10 @@ def ngram_jaccard_pairs(
         # was a ~20 s fixed floor on lsh_jaccard_verified; persisted it is
         # one evaluation. Both frames are candidate-pair scale (≪ corpus) and
         # are left pinned for the lifetime of the result plan — Spark evicts
-        # them LRU; callers holding a one-shot result can spark.catalog
-        # .clearCache() afterwards.
+        # them LRU. One-shot callers can pass `pinned_out=[]`: every frame
+        # this function persists is appended to it, and after the result is
+        # fully consumed the caller unpersists them (targeted, unlike
+        # spark.catalog.clearCache() which would evict unrelated caches).
         cand = (
             candidates.select("id_a", "id_b").where(F.col("id_a") < F.col("id_b")).distinct()
         ).persist()
@@ -217,6 +220,8 @@ def ngram_jaccard_pairs(
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         ).persist()
+        if pinned_out is not None:
+            pinned_out.extend([cand, ids])
         # prune the expensive tokenize/shingle scan to candidate docs
         df = df.join(ids, id_col, "left_semi")
     if shingles is not None:
@@ -229,6 +234,8 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         # used twice (n_a, n_b); one row per candidate doc — tiny
         sizes = sizes.persist()
+        if pinned_out is not None:
+            pinned_out.append(sizes)
     if candidates is not None:
         sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
         sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -371,19 +378,21 @@ def connected_components(
     rep = min id reachable from the node (the canonical dedup survivor).
 
     Each round runs (1) min-label propagation — join current labels across
-    the symmetric edge list, take the min neighbor label — then (2) POINTER
-    SHORTCUTTING — rep := min(rep, rep[rep]) — and terminates when a round
-    changes nothing. Propagation alone needs diameter-many rounds; the
-    shortcut step doubles the effective reach per round (rep already
-    summarizes its own reachable set), so convergence is O(log diameter):
-    an adversarial high-diameter pair graph (chains produced by star-guard
-    truncation overlapping across bands, or pathological near-dup chains)
-    converges in ~log2(d) rounds instead of d. For typical LSH dedup graphs
-    (diameter ≤ ~2·bands by construction) both are fast; the log bound is
-    the 100 TB safety net. Each round is two shuffles on id; lineage is cut
-    per round with localCheckpoint so the plan does not deepen. A
-    10⁶-member cluster costs the same rounds as a 10-member one — rounds
-    scale with log(diameter), not cluster size.
+    the symmetric edge list, take the min neighbor label — and, from the
+    third round on, (2) POINTER SHORTCUTTING — rep := min(rep, rep[rep]) —
+    terminating when a round changes nothing. Propagation alone needs
+    diameter-many rounds; the shortcut step doubles the effective reach per
+    round (rep already summarizes its own reachable set), so convergence is
+    O(log diameter): an adversarial high-diameter pair graph (chains
+    produced by star-guard truncation overlapping across bands, or
+    pathological near-dup chains) converges in ~log2(d) rounds instead of
+    d. Typical LSH dedup graphs (diameter ≤ ~2·bands by construction)
+    converge within the first plain rounds and never pay the shortcut's
+    second shuffle — it is the 100 TB safety net, engaged only when the
+    graph is evidently deep. Lineage is cut per round with localCheckpoint
+    so the plan does not deepen. A 10⁶-member cluster costs the same
+    rounds as a 10-member one — rounds scale with log(diameter), not
+    cluster size.
 
     The driver-side loop is control flow only (one Long per round crosses
     to the driver); no data is ever collected. If `stats` is given,
@@ -434,14 +443,20 @@ def connected_components(
                 .agg(F.min("rep").alias("rep"))
                 .withColumnRenamed("src", "id")
             )
-            # pointer shortcut: rep := min(rep, rep-of-rep). rep values are
-            # node ids present in `labels`, so the lookup join is total; an
-            # inner join keeps exactly one row per id.
-            lk = labels.select(F.col("id").alias("_rid"), F.col("rep").alias("_rrep"))
-            updated = (
-                propagated.join(lk, propagated.rep == lk._rid)
-                .select("id", F.least("rep", "_rrep").alias("rep"))
-            ).localCheckpoint()
+            if rounds >= 2:
+                # pointer shortcut: rep := min(rep, rep-of-rep). rep values
+                # are node ids present in `labels`, so the lookup join is
+                # total; an inner join keeps exactly one row per id. Rounds
+                # 1-2 skip it (identity on round 1; shallow LSH graphs are
+                # already done by round 3) — only deep graphs pay the
+                # second shuffle, and for them it buys the log bound.
+                lk = labels.select(F.col("id").alias("_rid"), F.col("rep").alias("_rrep"))
+                updated = (
+                    propagated.join(lk, propagated.rep == lk._rid)
+                    .select("id", F.least("rep", "_rrep").alias("rep"))
+                ).localCheckpoint()
+            else:
+                updated = propagated.localCheckpoint()
             rounds += 1
             cur_sum = _sum_rep(updated)
             labels = updated

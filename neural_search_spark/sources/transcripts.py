@@ -6,6 +6,15 @@ This container ships no Iceberg runtime jar, so the adapter probes for the
 catalog classes and falls back to parquet transparently — the rest of the
 engine is storage-agnostic (it consumes a DataFrame).
 
+PERMANENTLY CONTAINER-BOUND (verified round 4): the sandbox has no network
+(Maven Central does not resolve) and no Iceberg jar anywhere on disk, so
+the `iceberg` branch below cannot execute here by construction. It is the
+standard `spark.read.format("iceberg").load(name)` call — on any cluster
+with `iceberg-spark-runtime` on the classpath it runs unmodified, and the
+partition-pruning claims follow from the DDL below (days/bucket transforms
+prune at the manifest level; this is Iceberg's documented behavior, not
+custom code).
+
 Production Iceberg DDL this engine assumes (for partition/file pruning and
 the early-termination-on-index-sort analog, SURVEY.md §2.6)::
 

@@ -186,6 +186,7 @@ def test_word_tokenizers_col_matches_py(spark):
         "mail John.Doe+spam@example.co.uk or see https://spark.apache.org/docs?q=1#f",
         "edge@case@double http://x.y a_b-c@d.ee trailing@",
         "see (https://spark.apache.org/docs). or www.example.com, then http://",
+        "fetch ftp://mirror.example.org/pub/file.tar.gz today",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     import duckdb
@@ -214,5 +215,7 @@ def test_word_tokenizers_col_matches_py(spark):
     assert "https://spark.apache.org/docs" in uax7
     assert "www.example.com" in uax7
     assert not any(t.endswith((")", ".", ",")) for t in uax7)
+    # ftp URLs survive whole too (UAX29URLEmailTokenizer recognizes ftp)
+    assert "ftp://mirror.example.org/pub/file.tar.gz" in tokenize_py(texts[8], "uax_url_email")
     with pytest.raises(ValueError, match="not supported"):
         tokenize_col("text", "thai").alias("x")

@@ -48,6 +48,25 @@ def test_jaccard_candidate_first_matches_quadratic(spark, dup_docs):
     assert (0, 5) not in got  # candidate with zero shared shingles → no row
 
 
+def test_jaccard_pinned_out_hook(spark, dup_docs):
+    """pinned_out collects the frames ngram_jaccard_pairs persisted so a
+    one-shot caller can unpersist them after consuming the result."""
+    from pyspark.storagelevel import StorageLevel
+
+    cand = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    pinned: list = []
+    out = ngram_jaccard_pairs(
+        dup_docs, n=2, threshold=0.0, candidates=cand, pinned_out=pinned
+    ).collect()
+    assert len(out) == 2 and len(pinned) == 3  # cand, ids, sizes
+    assert all(
+        f.storageLevel.useMemory or f.storageLevel.useDisk for f in pinned
+    )
+    for f in pinned:
+        f.unpersist()
+    assert all(f.storageLevel == StorageLevel.NONE for f in pinned)
+
+
 def test_jaccard_candidate_first_plan_restricts_scan(spark, dup_docs):
     """The doc scan must be pruned to candidate ids (left-semi before the
     shingle explode) and the plan must not contain the quadratic

@@ -310,6 +310,78 @@ def test_multimodal_fake_features(spark):
         real_decode_stub(b"x", "image/png")
 
 
+def test_wav_parse_and_features():
+    """Pure-numpy WAV decode: synthesized sine tones round-trip through
+    parse_wav with the expected signal statistics, across bit depths and
+    channel counts."""
+    import numpy as np
+
+    from neural_search_spark.ops.multimodal import make_wav_bytes, parse_wav, wav_features
+
+    payload = make_wav_bytes(freq_hz=440.0, duration_s=0.25, sample_rate=8000)
+    sr, x = parse_wav(payload)
+    assert sr == 8000 and len(x) == 2000
+    f = wav_features(payload)
+    assert f.dtype == np.float32 and len(f) == 8
+    dur, rms, zcr, peak = float(f[0]), float(f[1]), float(f[2]), float(f[3])
+    assert dur == pytest.approx(0.25, abs=1e-3)
+    assert rms == pytest.approx(0.5 / np.sqrt(2), rel=0.01)  # sine RMS = A/√2
+    assert zcr == pytest.approx(2 * 440.0 / 8000, rel=0.05)  # 2 crossings/cycle
+    assert peak == pytest.approx(0.5, rel=0.01)
+    assert sum(float(b) for b in f[4:]) == pytest.approx(1.0, abs=1e-3)
+
+    # stereo 16-bit and mono 8-bit decode to (approximately) the same signal
+    _, x2 = parse_wav(make_wav_bytes(n_channels=2))
+    assert np.allclose(x, x2, atol=1e-4)
+    _, x8 = parse_wav(make_wav_bytes(bits=8))
+    # 8-bit quantization (±0.5/128) + the 127-vs-128 scale convention
+    assert np.allclose(x, x8, atol=1 / 100.0)
+
+    with pytest.raises(ValueError):
+        parse_wav(b"not a wav")
+    with pytest.raises(ValueError):
+        parse_wav(make_wav_bytes()[:20])  # truncated: chunk walk finds no data
+
+
+def test_multimodal_wav_e2e(spark):
+    """The real decode path end-to-end through the Arrow-batched
+    extract_features plumbing: WAV rows produce real features, a corrupt
+    payload is skipped (not a task failure) under skip_malformed, and
+    non-WAV mimes still take the declared stub path."""
+    from neural_search_spark.ops.multimodal import (
+        WAV_FEATURE_DIM,
+        extract_features,
+        make_wav_bytes,
+        media_decode_features,
+    )
+
+    rows = [
+        (0, "audio", "audio/wav", bytearray(make_wav_bytes(freq_hz=200.0))),
+        (1, "audio", "audio/wav", bytearray(make_wav_bytes(freq_hz=1200.0))),
+        (2, "audio", "audio/wav", bytearray(b"corrupt-not-riff")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary"
+    ).repartition(3)
+    got = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(
+            media, kernel=media_decode_features, batch_kind="audio", skip_malformed=True
+        ).collect()
+    }
+    assert set(got) == {0, 1}
+    assert all(len(v) == WAV_FEATURE_DIM for v in got.values())
+    # higher tone → more energy in higher bands (band index shifts up)
+    import numpy as np
+
+    assert int(np.argmax(got[1][4:])) >= int(np.argmax(got[0][4:]))
+    with pytest.raises(NotImplementedError):
+        media_decode_features(b"\x89PNG", "image/png")
+    # without skip_malformed the corrupt row is a hard error
+    with pytest.raises(Exception):
+        extract_features(media, kernel=media_decode_features, batch_kind="audio").collect()
+
+
 def test_lsh_cosine_recall_and_determinism(spark):
     """Sign-LSH ANN: with probe_hamming == n_planes the candidate set is
     exhaustive so results equal exact cosine; at the default probe radius
@@ -731,6 +803,74 @@ def test_bm25_batch_matches_per_query(spark, index_tables):
 
     for qid, terms in qdefs.items():
         exp = bm25_topk(t.postings, t.doclens, t.term_stats, t.meta, terms, k=5).collect()
+        rows = by_q.get(qid, [])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1)), qid
+        assert [(r["docID"], round(r["score"], 9)) for r in rows] == [
+            (r["docID"], round(r["score"], 9)) for r in exp
+        ], qid
+
+
+def test_sparse_batch_matches_per_query(spark, index_tables):
+    """Batch sparse top-k (one doc-weight pass for the whole query set)
+    must equal sparse_topk run once per query, quantization included."""
+    from neural_search_spark.query.batch import sparse_topk_batch
+    from neural_search_spark.query.sparse import sparse_topk
+
+    t = index_tables
+    weights = t.postings.select(
+        "term", "docID", F.col("tf").cast("double").alias("weight")
+    )
+    qdefs = {
+        201: {"the": 1.5, "spark": 0.4},
+        202: {"data": 1.0, "index": 2.0, "cache": 0.3},
+        203: {"zzz_missing": 1.0},
+    }
+    qrows = [(qid, term, w) for qid, terms in qdefs.items() for term, w in sorted(terms.items())]
+    queries = spark.createDataFrame(qrows, "query_id long, term string, weight double")
+
+    got = sparse_topk_batch(weights, queries, k=5, quantize=True).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, terms in qdefs.items():
+        exp = sparse_topk(weights, terms, k=5, quantize=True).collect()
+        rows = by_q.get(qid, [])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1)), qid
+        assert [(r["docID"], round(r["score"], 9)) for r in rows] == [
+            (r["docID"], round(r["score"], 9)) for r in exp
+        ], qid
+
+
+def test_hybrid_batch_matches_per_query(spark, index_tables):
+    """Batch hybrid top-k (one postings scan for every sub-query of every
+    query; normalize/combine keyed by (query_id, subquery_idx)) must equal
+    hybrid_topk run once per query."""
+    from neural_search_spark.query.batch import hybrid_topk_batch
+    from neural_search_spark.query.hybrid import hybrid_topk
+
+    t = index_tables
+    qdefs = {
+        301: [{"the": 1.0, "spark": 1.0}, {"data": 1.0}],
+        302: [{"index": 2.0}, {"cache": 1.0, "query": 1.0}],
+    }
+    qrows = [
+        (qid, si, term, w)
+        for qid, subs in qdefs.items()
+        for si, sub in enumerate(subs)
+        for term, w in sorted(sub.items())
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, subquery_idx int, term string, weight double"
+    )
+    got = hybrid_topk_batch(
+        t.postings, t.doclens, t.term_stats, t.meta, queries,
+        n_subqueries=2, k=5, normalization="min_max", combination="arithmetic_mean",
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, subs in qdefs.items():
+        exp = hybrid_topk(t, subs, k=5).collect()
         rows = by_q.get(qid, [])
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1)), qid
         assert [(r["docID"], round(r["score"], 9)) for r in rows] == [

@@ -1,15 +1,19 @@
-"""Batch-vs-looped multi-query BM25 benchmark (query/batch.py evidence).
+"""Batch-vs-looped multi-query benchmark (query/batch.py evidence).
 
 Builds the synthetic transcripts index at --turns (Zipf vocabulary), then
 times the SAME query set two ways, interleaved:
-  looped : bm25_topk once per query — Q postings scans, Q jobs (the
+  looped : one engine call per query — Q corpus scans, Q jobs (the
            reference's one-query-per-request model mapped onto Spark)
-  batch  : bm25_topk_batch — ONE postings scan + one (query_id, docID)
-           exchange for the whole set
-Rank identity between the two paths is asserted per trial. Prints one
-JSON line with both walls and the amortization factor.
+  batch  : *_topk_batch — ONE corpus scan (+ the per-mode exchanges)
+           for the whole set
+across three --mode values: bm25 (bm25_topk vs bm25_topk_batch), sparse
+(sparse_topk vs sparse_topk_batch, quantized), hybrid (hybrid_topk vs
+hybrid_topk_batch — each query split into 2 sub-queries, min_max +
+arithmetic mean). Rank identity between the two paths is asserted per
+trial. Prints one JSON line with both walls and the amortization factor.
 
 Usage: python tools/batch_query_bench.py [--turns 2000000] [--nq 32]
+                                         [--mode bm25|sparse|hybrid]
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ def main():
     ap.add_argument("--nq", type=int, default=32, help="queries in the batch")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--vocab-size", type=int, default=100_000)
+    ap.add_argument("--mode", choices=("bm25", "sparse", "hybrid"), default="bm25")
     args = ap.parse_args()
 
     from neural_search_spark.data import assign_doc_ids, synthesize_transcripts
@@ -88,19 +93,86 @@ def main():
     qrows = [(qid, term, w) for qid, terms in qdefs.items() for term, w in sorted(terms.items())]
     queries = spark.createDataFrame(qrows, "query_id long, term string, weight double")
 
-    def run_batch():
-        out = bm25_topk_batch(postings, doclens, term_stats, meta_df, queries, k=10)
+    def keyed(rows):
         return {
-            (r["query_id"], r["rank"]): (r["docID"], round(r["score"], 9))
-            for r in out.collect()
+            (r["query_id"], r["rank"]): (r["docID"], round(r["score"], 9)) for r in rows
         }
 
-    def run_looped():
-        res = {}
-        for qid, terms in qdefs.items():
-            for r in bm25_topk(postings, doclens, term_stats, meta_df, terms, k=10).collect():
-                res[(qid, r["rank"])] = (r["docID"], round(r["score"], 9))
-        return res
+    if args.mode == "bm25":
+
+        def run_batch():
+            return keyed(
+                bm25_topk_batch(postings, doclens, term_stats, meta_df, queries, k=10).collect()
+            )
+
+        def run_looped():
+            res = {}
+            for qid, terms in qdefs.items():
+                for r in bm25_topk(postings, doclens, term_stats, meta_df, terms, k=10).collect():
+                    res[(qid, r["rank"])] = (r["docID"], round(r["score"], 9))
+            return res
+
+    elif args.mode == "sparse":
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.query.batch import sparse_topk_batch
+        from neural_search_spark.query.sparse import sparse_topk
+
+        weights_df = postings.select(
+            "term", "docID", F.col("tf").cast("double").alias("weight")
+        )
+
+        def run_batch():
+            return keyed(sparse_topk_batch(weights_df, queries, k=10).collect())
+
+        def run_looped():
+            res = {}
+            for qid, terms in qdefs.items():
+                for r in sparse_topk(weights_df, terms, k=10).collect():
+                    res[(qid, r["rank"])] = (r["docID"], round(r["score"], 9))
+            return res
+
+    else:  # hybrid: each query's terms split into 2 sub-queries
+        from neural_search_spark.index.build import IndexTables
+        from neural_search_spark.query.batch import hybrid_topk_batch
+        from neural_search_spark.query.hybrid import hybrid_topk
+
+        def split2(terms: dict[str, float]) -> list[dict[str, float]]:
+            ks = sorted(terms)
+            a = {t: terms[t] for t in ks[: max(1, len(ks) // 2)]}
+            b = {t: terms[t] for t in ks[max(1, len(ks) // 2):]} or dict(
+                list(a.items())[:1]
+            )
+            return [a, b]
+
+        hdefs = {qid: split2(terms) for qid, terms in qdefs.items()}
+        hrows = [
+            (qid, si, term, w)
+            for qid, subs in hdefs.items()
+            for si, sub in enumerate(subs)
+            for term, w in sorted(sub.items())
+        ]
+        hqueries = spark.createDataFrame(
+            hrows, "query_id long, subquery_idx int, term string, weight double"
+        )
+        tables = IndexTables(
+            postings=postings, doclens=doclens, term_stats=term_stats, meta=meta_df
+        )
+
+        def run_batch():
+            return keyed(
+                hybrid_topk_batch(
+                    postings, doclens, term_stats, meta_df, hqueries,
+                    n_subqueries=2, k=10,
+                ).collect()
+            )
+
+        def run_looped():
+            res = {}
+            for qid, subs in hdefs.items():
+                for r in hybrid_topk(tables, subs, k=10).collect():
+                    res[(qid, r["rank"])] = (r["docID"], round(r["score"], 9))
+            return res
 
     # warm both paths once (JIT, python workers, page faults)
     wb, wl = run_batch(), run_looped()
@@ -119,6 +191,7 @@ def main():
         log(f"trial {trial}: batch {batch_walls[-1]}s, looped {loop_walls[-1]}s")
 
     out = {
+        "mode": args.mode,
         "turns": args.turns,
         "n_queries": args.nq,
         "cpus": args.cpus,
