@@ -58,6 +58,11 @@ EMB_DUP_THRESHOLD, EMB_DUP_BANDS, EMB_DUP_MAXH = 0.4, 4, 3
 EMB_DUP_PLANES = 16
 IVF_CLUSTERS, IVF_NPROBE = 16, 4
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
+PHRASE_TERMS = ["table", "part"]  # exact-adjacency phrase, ~30 docs at sf0.01
+# decontamination: docs with doc_id % DECON_MOD == 0 act as the "benchmark"
+# set; n=3 grams (production default is 13 — the synthetic fixture's texts
+# are too short/random for 13-gram overlaps)
+DECON_N, DECON_MOD = 3, 97
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments
@@ -882,6 +887,36 @@ def q_orders_join_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _oracle_phrase(terms: list[str], k: int = K) -> str:
+    """Exact-phrase BM25 (mirror of query/phrase.py): rebase every query-term
+    position to pos − offset; a (doc, base) covering all distinct offsets is
+    one phrase occurrence; idf sums one addend per phrase POSITION."""
+    offs = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    pos_terms = ", ".join(f"'{t}'" for t in terms)
+    noff = len(terms)  # offsets 0..q-1 are distinct by construction
+    return f"""
+    with {SQL_INDEX_CTES},
+    tokarr as ({SQL_TOKARR}),
+    tokpos as (select doc_id, unnest(toks) as term, unnest(range(len(toks))) as pos
+               from tokarr),
+    offs as (select * from (values {offs}) as t(term, os)),
+    bases as (select tp.doc_id, tp.pos - o.os as base, o.os
+              from tokpos tp join offs o using(term)
+              where tp.pos - o.os >= 0),
+    occ as (select doc_id, base from bases group by doc_id, base
+            having count(distinct os) = {noff}),
+    ptf as (select doc_id, count(*)::BIGINT as ptf from occ group by doc_id),
+    sidf as (select sum(ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))) as sidf
+             from (select unnest([{pos_terms}]) as term) q
+             join stats s using(term) cross join meta m),
+    scored as (select p.doc_id,
+                      round(sidf.sidf * p.ptf
+                            / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl)), 6) as score
+               from ptf p join doclens d using(doc_id)
+               cross join meta m cross join sidf)
+    {_sql_rank("scored", "score", "doc_id", k)}"""
+
+
 def _oracle_bm25(tokens: dict[str, float], k: int = K) -> str:
     return f"with {SQL_INDEX_CTES}, {_sql_bm25_scored(tokens)} " + _sql_rank(
         "scored", "score", "doc_id", k
@@ -1323,6 +1358,55 @@ def _oracle_lsh_cosine() -> str:
   {_sql_rank("scored", "cosine", "vec_id", K)}"""
 
 
+# ---------------------------------------------------------------------------
+# positional postings / phrase query / decontamination
+# ---------------------------------------------------------------------------
+
+_POSITIONAL_CACHE: dict[str, DataFrame] = {}
+
+
+def _positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings over the documents fixture, built once per
+    process (shared by positional_postings + phrase_top10)."""
+    if sf_dir not in _POSITIONAL_CACHE:
+        from neural_search_spark.query.phrase import build_positional_postings
+
+        _POSITIONAL_CACHE[sf_dir] = build_positional_postings(
+            _docs(spark, sf_dir), text_col="text", id_col="doc_id"
+        ).persist()
+    return _POSITIONAL_CACHE[sf_dir]
+
+
+def q_positional_postings(spark, sf_dir):
+    """Positional postings (Arrow batch-local kernel), exploded back to one
+    row per token occurrence so the value-hash covers every position."""
+    pos = _positional(spark, sf_dir)
+    return pos.select(
+        "term", F.col("docID").alias("doc_id"), F.explode("positions").alias("pos")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def q_phrase_top10(spark, sf_dir):
+    """Exact-phrase top-10, Lucene PhraseQuery×BM25 semantics (idf summed
+    over phrase positions, tf = exact phrase frequency)."""
+    from neural_search_spark.query.phrase import phrase_scores
+
+    idx = _index(spark, sf_dir)
+    scored = phrase_scores(_positional(spark, sf_dir), idx.term_stats, idx.meta, PHRASE_TERMS)
+    return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥1 token n-gram with
+    the held-out 'benchmark' subset (doc_id % DECON_MOD == 0)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0)
+    hits = ops.ngram_contamination(
+        docs.where(F.col("doc_id") % DECON_MOD != 0), bench, n=DECON_N, id_col="doc_id"
+    )
+    return hits.select(F.col("id").cast("long").alias("doc_id"), "matched_ngrams")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over sf0.001 documents."""
     return q_bm25_top10(spark, "/root/testdata/sf0.001")
@@ -1334,6 +1418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freq": q_term_doc_freq,
         "doclens": q_doclens,
         "collection_meta": q_collection_meta,
+        "positional_postings": q_positional_postings,
+        "phrase_top10": q_phrase_top10,
+        "decontaminate": q_decontaminate,
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
         "bm25_batch_top5": q_bm25_batch_top5,
@@ -1407,6 +1494,18 @@ def oracle_sql() -> dict[str, str]:
         "term_doc_freq": f"with {SQL_INDEX_CTES} select term, df from stats",
         "doclens": f"with {SQL_INDEX_CTES} select doc_id, dl from doclens",
         "collection_meta": f"with {SQL_INDEX_CTES} select n, round(avgdl, 6) as avgdl from meta",
+        "positional_postings": f"""
+    select term, doc_id, pos
+    from (select doc_id, unnest(toks) as term, unnest(range(len(toks))) as pos
+          from ({SQL_TOKARR}))""",
+        "phrase_top10": _oracle_phrase(PHRASE_TERMS, K),
+        "decontaminate": f"""
+    with {SQL_SHINGLES},
+    bench as (select distinct shingle from shingles where id % {DECON_MOD} = 0)
+    select s.id::BIGINT as doc_id, count(*)::BIGINT as matched_ngrams
+    from shingles s join bench b using(shingle)
+    where s.id % {DECON_MOD} <> 0
+    group by 1""",
         "bm25_top10": _oracle_bm25(Q_BM25),
         "bm25_weighted_top10": _oracle_bm25(Q_BM25_W),
         "bm25_batch_top5": _oracle_bm25_batch(Q_BATCH, k=5),

@@ -16,6 +16,7 @@ from neural_search_spark.ops.dedup import (  # noqa: F401
     dedup_exact,
     doc_shingles,
     minhash_lsh_pairs,
+    ngram_contamination,
     ngram_jaccard_pairs,
     shingle_col,
     simhash,

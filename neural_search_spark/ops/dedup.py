@@ -63,6 +63,51 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
 _doc_shingles = doc_shingles  # internal alias (signature kept positional below)
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingles: DataFrame | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, matched_ngrams): corpus docs sharing ≥1 token n-gram with any
+    benchmark text — the train-set DECONTAMINATION primitive (flag training
+    documents that leak evaluation data; n=13 is the de-facto contamination
+    window from the GPT-3/PaLM data papers, public methodology).
+
+    Dataflow at 100 TB: the benchmark side (eval suites: 10^3–10^6 grams)
+    is deduplicated then BROADCAST, so the corpus side is one shingle pass
+    + a map-side hash-join — the corpus never shuffles and the output is
+    only the contaminated ids with their distinct-gram counts. Set
+    broadcast_benchmark=False for benchmark sets too big for a broadcast
+    (AQE then picks the join strategy from runtime sizes).
+
+    `shingles` accepts a pre-computed doc_shingles(docs, n=n) frame so a
+    pipeline already shingling for MinHash/Jaccard dedup reuses one pass.
+    Short-doc fallback matches doc_shingles: a doc (or benchmark row) with
+    fewer than n tokens contributes its whole token string as one gram —
+    short texts are matched exactly rather than skipped.
+    """
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n)
+    bsh = (
+        benchmark.select(
+            F.explode(shingle_col(tokenize_col(bench_text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    # sh is distinct per (id, shingle), so count(*) = distinct matched grams
+    return (
+        sh.join(bsh, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("matched_ngrams"))
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -6,6 +6,7 @@ term/match lexical queries its tests exercise, HybridQueryIT.java:138-145).
 Supported query dicts::
 
     {"match":        {FIELD: {"query": "free text", "boost": 1.0}}}
+    {"match_phrase": {FIELD: {"query": "exact phrase", "boost": 1.0}}}
     {"term":         {FIELD: {"value": "token", "boost": 1.0}}}
     {"neural_sparse": {FIELD: {"query_tokens": {tok: w}, "boost": 1.0,
                               "two_phase": {"prune_ratio": 0.4,
@@ -51,6 +52,7 @@ from neural_search_spark.analysis.tokenizer import tokenize_py
 from neural_search_spark.index.build import IndexTables
 from neural_search_spark.query import hybrid as hybrid_mod
 from neural_search_spark.query.bm25 import bm25_score_all, topk
+from neural_search_spark.query.phrase import phrase_scores
 from neural_search_spark.query.sparse import (
     sparse_scores,
     split_query_tokens,
@@ -97,7 +99,7 @@ def _single_field(spec: dict, kind: str) -> tuple[str, dict]:
         raise QueryValidationError(f"{kind} query must target exactly one field")
     ((field, body),) = spec.items()
     if not isinstance(body, dict):
-        body = {"query": body} if kind == "match" else {"value": body}
+        body = {"query": body} if kind in ("match", "match_phrase") else {"value": body}
     return field, body
 
 
@@ -121,6 +123,9 @@ class QueryEngine:
     embeddings: DataFrame | None = None
     emb_id_col: str = "docID"
     emb_vec_col: str = "embedding"
+    # optional positional index (query/phrase.py build_positional_postings);
+    # required only by match_phrase — every other kind ignores it
+    positional: DataFrame | None = None
 
     # -- internal: score one leaf/bool query → (docID, score) --------------
     def _score(
@@ -161,6 +166,22 @@ class QueryEngine:
             return bm25_score_all(
                 self.tables.postings, self.tables.doclens, self.tables.term_stats,
                 self.tables.meta, weights, prefilter=prefilter,
+            )
+
+        if kind == "match_phrase":
+            field, spec = _single_field(body, "match_phrase")
+            boost = float(spec.get("boost", 1.0))
+            terms = tokenize_py(spec["query"])  # ordered, duplicates kept
+            if not terms:
+                return self.docs.sparkSession.createDataFrame([], "docID long, score double")
+            if self.positional is None:
+                raise QueryValidationError(
+                    "match_phrase requires a positional index — construct the "
+                    "engine with positional=build_positional_postings(docs)"
+                )
+            return phrase_scores(
+                self.positional, self.tables.term_stats, self.tables.meta,
+                terms, boost=boost, prefilter=prefilter,
             )
 
         if kind == "term":

@@ -1,0 +1,245 @@
+"""Positional postings + exact phrase matching and scoring.
+
+The reference plugin's lexical queries delegate phrase handling to Lucene's
+PhraseQuery (positions live in Lucene's .pos files and are walked by
+PhraseScorer). This module is the Spark-first equivalent — positions are a
+first-class column, and phrase matching is relational algebra instead of a
+doc-at-a-time scorer:
+
+    positional postings : (term, docID, positions array<int>, tf, dl)
+    phrase occurrence   : doc d matches "t0 t1 … t_{q-1}" at base p iff
+                          p + i ∈ positions(t_i, d) for every i
+                        ⇔ group (docID, pos - offset) reaches q DISTINCT
+                          phrase offsets — one groupBy, no per-doc loop.
+
+Scoring matches Lucene's PhraseQuery under BM25Similarity: the phrase is
+scored like a single pseudo-term whose tf is the exact phrase frequency and
+whose idf is the SUM of the member terms' idfs, one addend per phrase
+position (PhraseWeight passes every position's TermStatistics, so repeated
+terms contribute twice; Lucene ≥ 8 drops the (k1+1) numerator — we follow).
+Sloppy phrases (slop > 0) are a documented non-goal: Lucene's sloppy-freq
+algorithm is inherently doc-at-a-time; exact adjacency is the common case
+and the only one with clean set semantics.
+
+Scale notes (100 TB / 10^12 turns):
+- the Arrow fast path builds position lists batch-locally (a doc lives in
+  one input row ⇒ one Arrow batch), so the build is SHUFFLE-FREE — same
+  design as index/build.py's tf kernel; the declarative fallback shuffles
+  one (term, docID, pos) row per token, which is the cost class to avoid.
+- query-time work is proportional to the matched terms' postings only:
+  the IN-list reaches the parquet scan, the base-alignment groupBy shuffles
+  Σ positions of the q query terms — the same rows Lucene's PhraseScorer
+  walks, just set-at-a-time.
+- the per-query stats lookup collects q rows (one per distinct term);
+  nothing else reaches the driver before the final top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neural_search_spark import B, K1
+from neural_search_spark.analysis.tokenizer import tokenize_col
+from neural_search_spark.query.bm25 import bm25_score_col
+
+
+def build_positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "docID",
+    tokenizer: str = "standard",
+    one_row_per_doc: bool = True,
+) -> DataFrame:
+    """(term, docID, positions array<int> sorted asc, tf, dl).
+
+    Positions are 0-based token indexes. Same PRECONDITION contract as
+    index/build.py build_postings: the default fast path requires each
+    docID to occupy exactly one input row (positions are doc-local); pass
+    one_row_per_doc=False for multi-row docIDs (declarative posexplode →
+    groupBy, one token-level shuffle, correct for any multiplicity).
+    """
+    if not one_row_per_doc:
+        toks = df.select(
+            F.col(id_col).cast("long").alias("docID"),
+            tokenize_col(text_col, tokenizer).alias("_toks"),
+        ).select(
+            "docID",
+            F.size("_toks").cast("int").alias("dl"),
+            F.posexplode("_toks").alias("pos", "term"),
+        )
+        return toks.groupBy("term", "docID").agg(
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+            F.count("*").cast("int").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("docID", T.LongType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType(), False), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("dl", T.IntegerType(), False),
+        ]
+    )
+
+    def pos_batches(batches):
+        # Batch-local positional kernel (mapInArrow): like build_postings'
+        # tf kernel, token strings never become CPython objects. Grouping
+        # is a stable argsort on the int64 (term-code, row) key; because
+        # the sort is stable and tokens are emitted in document order, each
+        # group's positions come out already ascending — the ListArray is
+        # assembled from group offsets with zero per-group Python.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            toks = rb.column(rb.schema.get_field_index("toks"))
+            docid = rb.column(rb.schema.get_field_index("docID"))
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            total = len(flat)
+            if total == 0:
+                continue
+            denc = pc.dictionary_encode(flat)
+            tcodes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            docidx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            pos = (np.arange(total, dtype=np.int64) - starts).astype(np.int32)
+            key = tcodes * nrows + docidx  # < vocab_batch × batch_rows ≪ 2⁶³
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            bounds = np.flatnonzero(np.diff(skey)) + 1
+            offsets = np.concatenate(([0], bounds, [total])).astype(np.int32)
+            guniq = skey[offsets[:-1]]
+            g_t = guniq // nrows
+            g_d = guniq % nrows
+            docs_arr = docid.to_numpy(zero_copy_only=False)
+            positions = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(pos[order], type=pa.int32())
+            )
+            tf = np.diff(offsets).astype(np.int32)
+            yield pa.record_batch(
+                [
+                    pc.take(denc.dictionary, pa.array(g_t)).cast(pa.string()),
+                    pa.array(docs_arr[g_d], type=pa.int64()),
+                    positions,
+                    pa.array(tf, type=pa.int32()),
+                    pa.array(lens[g_d].astype(np.int32), type=pa.int32()),
+                ],
+                names=["term", "docID", "positions", "tf", "dl"],
+            )
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("docID"),
+        tokenize_col(text_col, tokenizer).alias("toks"),
+    )
+    return base.mapInArrow(pos_batches, schema=schema)
+
+
+def phrase_match(
+    positional: DataFrame,
+    terms: list[str],
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """(docID, ptf, dl): docs containing the exact phrase `terms` (ordered,
+    duplicates meaningful) with the phrase frequency.
+
+    A phrase occurrence at base position p needs every phrase offset i to
+    find term_i at p + i, so rows are rebased to (docID, pos − offset) and
+    a group matches iff it covers all q DISTINCT offsets (repeated terms
+    join to each of their offsets, so "a b a" still requires 3 distinct
+    offsets). Overlapping occurrences count separately — Lucene's
+    ExactPhraseMatcher semantics.
+    """
+    if not terms:
+        raise ValueError("phrase needs at least one term")
+    spark = positional.sparkSession
+    q = len(terms)
+    offsets = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, offset int"
+    )
+    matched = positional.where(F.col("term").isin(sorted(set(terms)))).join(
+        F.broadcast(offsets), "term"
+    )
+    if prefilter is not None:
+        matched = matched.join(prefilter, "docID", "left_semi")
+    bases = (
+        matched.select("docID", "dl", "offset", F.explode("positions").alias("pos"))
+        .select("docID", "dl", "offset", (F.col("pos") - F.col("offset")).alias("base"))
+        .where(F.col("base") >= 0)
+    )
+    occ = (
+        bases.groupBy("docID", "base")
+        .agg(F.count_distinct("offset").alias("nmatched"), F.first("dl").alias("dl"))
+        .where(F.col("nmatched") == q)
+    )
+    return occ.groupBy("docID").agg(
+        F.count("*").cast("int").alias("ptf"), F.first("dl").alias("dl")
+    )
+
+
+def phrase_scores(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: list[str],
+    boost: float = 1.0,
+    k1: float = K1,
+    b: float = B,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """(docID, score) for every doc containing the exact phrase.
+
+    score = boost · Σ_{i<q} idf(term_i) · ptf / (ptf + k1·(1−b+b·dl/avgdl))
+    — Lucene PhraseQuery under BM25Similarity (idf summed per phrase
+    position, tf = exact phrase frequency, no (k1+1) numerator).
+    """
+    m = meta.first()
+    n_docs, avgdl = m["N"], float(m["avgdl"])
+    uniq = sorted(set(terms))
+    # q-row bounded collect: the per-term dfs that seed the driver-side idf
+    # sum (Lucene resolves the same TermStatistics up front).
+    dfs = {
+        r["term"]: r["df"]
+        for r in term_stats.where(F.col("term").isin(uniq)).select("term", "df").collect()
+    }
+    if any(t not in dfs for t in terms):
+        # a phrase containing an unindexed term matches nothing
+        return positional.sparkSession.createDataFrame([], "docID long, score double")
+    # driver-side float math matches idf_col exactly (same ln formula over
+    # the same float64s); one addend per phrase POSITION, so repeats count
+    sum_idf = sum(
+        math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
+    )
+    match = phrase_match(positional, terms, prefilter=prefilter)
+    return match.select(
+        "docID",
+        (
+            F.lit(float(boost) * sum_idf)
+            * bm25_score_col(F.col("ptf").cast("double"), F.col("dl"), F.lit(avgdl), k1, b)
+        ).alias("score"),
+    )
+
+
+def phrase_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k (docID, score), score desc / docID asc tie-break — compiles to
+    TakeOrderedAndProject like every other top-k in the engine."""
+    scored = phrase_scores(positional, term_stats, meta, terms, **kwargs)
+    return scored.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k)
