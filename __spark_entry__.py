@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from neural_search_spark import ops  # noqa: E402
 from neural_search_spark.analysis.tokenizer import tokenize_col  # noqa: E402
 from neural_search_spark.index.build import build_index_tables  # noqa: E402
-from neural_search_spark.query import bm25, hybrid, sparse  # noqa: E402
+from neural_search_spark.query import bm25, boolquery, hybrid, multiterm, sparse  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # shared fixtures: fixed query-term sets (vocabulary of the synthetic docs)
@@ -38,6 +38,13 @@ Q_BM25_W = {"scan": 2.0, "merge": 1.0, "vector": 3.0, "zzzmissing": 5.0}
 Q_SPARSE = {"spark": 1.5, "filter": 0.4, "customer": 1.0, "batch": 0.2, "stream": 0.9}
 Q_HY_A = {"spark": 1.0, "stream": 1.0}
 Q_HY_B = {"customer": 1.0, "vector": 1.0, "batch": 1.0}
+Q_MSM = {"data": 1.0, "vector": 1.0, "window": 1.0}  # minimum_should_match=2
+BOOL_MUST = [{"data": 1.0, "window": 1.0}]  # one clause: data OR window
+BOOL_SHOULD = [{"vector": 1.0}, {"spark": 1.0}]
+BOOL_NOT = [{"dup": 1.0}]
+PREFIX_VALUE = "s"  # scoring_boolean expansion: scan slow small sort spark stream
+WILDCARD_VALUE, WILDCARD_BOOST = "s*a*", 1.5  # LIKE 's%a%'
+FUZZY_VALUE, FUZZY_MAXD = "port", 1  # Levenshtein ≤1: part, sort
 K = 10
 CHUNK_LIMIT, CHUNK_OVERLAP = 20, 0.25  # step 15
 CHUNK_MAXN = 3  # max_chunk_limit for the *_limited chunk queries
@@ -379,6 +386,68 @@ def q_bm25_post_filter_top10(spark, sf_dir):
     scored = _bm25_scores_rounded(_index(spark, sf_dir), Q_BM25)
     keep = docs.where(F.col("source").isin(*[f"src{i}" for i in range(10)])).select("doc_id")
     return _ranked(scored.join(keep, "doc_id", "left_semi"), "score", "doc_id", K)
+
+
+def q_match_msm_top10(spark, sf_dir):
+    """match with minimum_should_match=2 (Lucene BooleanQuery
+    minimumNumberShouldMatch): docs matching <2 of the 3 query terms are
+    dropped, surviving scores identical to the plain match run. The clause
+    threshold is enforced inside the same map-side-combinable aggregation
+    that sums the score (query/bm25.py)."""
+    t = _index(spark, sf_dir)
+    s = bm25.bm25_score_all(
+        t.postings, t.doclens, t.term_stats, t.meta, Q_MSM, min_should_match=2
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_prefix_scoring_top10(spark, sf_dir):
+    """prefix query, scoring_boolean rewrite: term-dictionary expansion →
+    BM25 disjunction over the matched terms (query/multiterm.py; Lucene
+    MultiTermQuery SCORING_BOOLEAN_REWRITE, TooManyClauses above 1024)."""
+    t = _index(spark, sf_dir)
+    s = multiterm.multiterm_score_all(
+        t.postings, t.doclens, t.term_stats, t.meta,
+        "prefix", PREFIX_VALUE, rewrite="scoring_boolean",
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_wildcard_top10(spark, sf_dir):
+    """wildcard query, constant_score rewrite (Lucene default for
+    multi-term queries): every doc containing ≥1 matching term scores
+    boost; ties rank by doc_id asc."""
+    t = _index(spark, sf_dir)
+    s = multiterm.multiterm_score_all(
+        t.postings, t.doclens, t.term_stats, t.meta,
+        "wildcard", WILDCARD_VALUE, boost=WILDCARD_BOOST,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_fuzzy_top10(spark, sf_dir):
+    """fuzzy query (classic Levenshtein = fuzzy_transpositions:false),
+    constant_score: dictionary terms within edit distance FUZZY_MAXD of a
+    value that is itself NOT a corpus term."""
+    t = _index(spark, sf_dir)
+    s = multiterm.multiterm_score_all(
+        t.postings, t.doclens, t.term_stats, t.meta,
+        "fuzzy", FUZZY_VALUE, fuzziness=FUZZY_MAXD,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_bool_should_top10(spark, sf_dir):
+    """Full Lucene BooleanQuery (must + 2 should + must_not) executed as
+    ONE fused postings scan: per-term clause bitmasks, coverage /
+    min_should_match / exclusion decided inside the same aggregation that
+    sums the BM25 score (query/boolquery.py)."""
+    t = _index(spark, sf_dir)
+    s = boolquery.fused_bool_scores(
+        t.postings, t.doclens, t.term_stats, t.meta,
+        BOOL_MUST, BOOL_SHOULD, BOOL_NOT, min_should_match=0,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
 def q_sparse_linear_top10(spark, sf_dir):
@@ -1429,6 +1498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_top10": q_bm25_wand_top10,
         "bm25_prefilter_top10": q_bm25_prefilter_top10,
         "bm25_post_filter_top10": q_bm25_post_filter_top10,
+        "match_msm_top10": q_match_msm_top10,
+        "bool_should_top10": q_bool_should_top10,
+        "prefix_scoring_top10": q_prefix_scoring_top10,
+        "wildcard_top10": q_wildcard_top10,
+        "fuzzy_top10": q_fuzzy_top10,
         "sparse_linear_top10": q_sparse_linear_top10,
         "two_phase_sparse_top10": q_two_phase_sparse_top10,
         "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
@@ -1519,6 +1593,52 @@ def oracle_sql() -> dict[str, str]:
         "bm25_post_filter_top10": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25, "s_all")},
   scored as (select s.* from s_all s join documents d on s.doc_id = d.doc_id
              where d.source in ({", ".join(f"'src{i}'" for i in range(10))}))
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "bool_should_top10": f"""with {SQL_INDEX_CTES},
+  {_sql_bm25_scored({"data": 1.0, "window": 1.0, "vector": 1.0, "spark": 1.0}, "s_all")},
+  scored as (
+    select s.doc_id, s.score from s_all s
+    where s.doc_id in (select doc_id from postings where term in ('data', 'window'))
+      and s.doc_id not in (select doc_id from postings where term = 'dup')
+  )
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "match_msm_top10": f"""with {SQL_INDEX_CTES},
+  q as {_sql_values(Q_MSM)},
+  scored as (
+    select p.doc_id,
+           round(sum(q.w * ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                     * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) as score
+    from postings p
+    join q on p.term = q.term
+    join stats s on p.term = s.term
+    join doclens d on p.doc_id = d.doc_id
+    cross join meta m
+    group by 1
+    having count(*) >= 2
+  )
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "prefix_scoring_top10": f"""with {SQL_INDEX_CTES},
+  scored as (
+    select p.doc_id,
+           round(sum(ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                     * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) as score
+    from postings p
+    join stats s on p.term = s.term
+    join doclens d on p.doc_id = d.doc_id
+    cross join meta m
+    where p.term like '{PREFIX_VALUE}%'
+    group by 1
+  )
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "wildcard_top10": f"""with {SQL_INDEX_CTES},
+  matched as (select distinct doc_id from postings
+              where term like '{WILDCARD_VALUE.replace("*", "%").replace("?", "_")}'),
+  scored as (select doc_id, {WILDCARD_BOOST}::DOUBLE as score from matched)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "fuzzy_top10": f"""with {SQL_INDEX_CTES},
+  mt as (select term from stats where levenshtein(term, '{FUZZY_VALUE}') <= {FUZZY_MAXD}),
+  matched as (select distinct p.doc_id from postings p join mt on p.term = mt.term),
+  scored as (select doc_id, 1.0::DOUBLE as score from matched)
   {_sql_rank("scored", "score", "doc_id", K)}""",
         "sparse_linear_top10": f"""with {SQL_INDEX_CTES},
   q as {_sql_values(Q_SPARSE)},

@@ -87,6 +87,8 @@ QNAMES = [
     "sparse_batch_top5",
     "hybrid_batch_top5",
     "two_phase_sparse_top10",
+    "phrase_top10",
+    "fuzzy_top10",
     "hybrid_minmax_arithmetic",
     "hybrid_neural_match",
     "hybrid_with_aggs",

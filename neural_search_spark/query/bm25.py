@@ -39,13 +39,23 @@ def bm25_score_col(tf, dl, avgdl, k1: float = K1, b: float = B) -> F.Column:
     return tf / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl))
 
 
-def query_terms_df(spark: SparkSession, terms: dict[str, float] | list[str]) -> DataFrame:
-    """Literal query terms → 1-row-per-term DataFrame (broadcastable)."""
+def query_terms_df(
+    spark: SparkSession,
+    terms: dict[str, float] | list[str],
+    clause_counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Literal query terms → 1-row-per-term DataFrame (broadcastable).
+
+    `clause_counts` records how many SHOULD clauses each distinct term
+    stands for (a duplicated query term is multiple Lucene clauses); used
+    by minimum_should_match accounting. Defaults to 1 per term.
+    """
+    counts = clause_counts or {}
     if isinstance(terms, dict):
-        rows = [(t, float(w)) for t, w in sorted(terms.items())]
+        rows = [(t, float(terms[t]), int(counts.get(t, 1))) for t in sorted(terms)]
     else:
-        rows = [(t, 1.0) for t in sorted(set(terms))]
-    return spark.createDataFrame(rows, "q_term string, q_weight double")
+        rows = [(t, 1.0, int(counts.get(t, 1))) for t in sorted(set(terms))]
+    return spark.createDataFrame(rows, "q_term string, q_weight double, q_clauses int")
 
 
 def bm25_score_all(
@@ -58,6 +68,8 @@ def bm25_score_all(
     b: float = B,
     prefilter: DataFrame | None = None,
     lucene_norms: bool = False,
+    min_should_match: int = 0,
+    clause_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """All matching docs with exact BM25 scores: (docID, score).
 
@@ -66,6 +78,13 @@ def bm25_score_all(
     global — matching the reference, where FILTER clauses restrict matches
     but BM25 stats come from the whole index (query/HybridQuery.java:43-60).
 
+    `min_should_match` > 1 keeps only docs matching at least that many
+    SHOULD clauses (Lucene BooleanQuery minimumNumberShouldMatch); a
+    duplicated query term counts as multiple clauses via `clause_counts`
+    (term → clause multiplicity, default 1). The threshold is enforced in
+    the same map-side-combinable aggregation that sums the score — no
+    extra pass or shuffle.
+
     `lucene_norms=True` quantizes dl with Lucene's SmallFloat int4 scheme
     (1-byte norms) for rank-identity with a real Lucene BM25; the default
     keeps exact dl (documented divergence, see analysis/lucene_norms.py).
@@ -73,7 +92,7 @@ def bm25_score_all(
     computed from sumTotalTermFreq, not from decoded norms.
     """
     spark = postings.sparkSession
-    q = query_terms_df(spark, terms)
+    q = query_terms_df(spark, terms, clause_counts=clause_counts)
     m = meta.first()
     n_docs, avgdl = m["N"], float(m["avgdl"])
 
@@ -82,6 +101,7 @@ def bm25_score_all(
         .select(
             "term",
             "q_weight",
+            "q_clauses",
             (F.col("q_weight") * idf_col(F.col("df"), F.lit(n_docs))).alias("w_idf"),
         )
     )
@@ -107,9 +127,15 @@ def bm25_score_all(
         dl_col = int4_quantize_col(dl_col)
     per_term = cand.select(
         "docID",
+        "q_clauses",
         (F.col("w_idf") * bm25_score_col(F.col("tf"), dl_col, F.lit(avgdl), k1, b)).alias("part"),
     )
-    return per_term.groupBy("docID").agg(F.sum("part").alias("score"))
+    scores = per_term.groupBy("docID").agg(
+        F.sum("part").alias("score"), F.sum("q_clauses").alias("_matched_clauses")
+    )
+    if min_should_match > 1:
+        scores = scores.where(F.col("_matched_clauses") >= F.lit(min_should_match))
+    return scores.drop("_matched_clauses")
 
 
 def topk(scores: DataFrame, k: int, score_col: str = "score") -> DataFrame:

@@ -5,9 +5,15 @@ term/match lexical queries its tests exercise, HybridQueryIT.java:138-145).
 
 Supported query dicts::
 
-    {"match":        {FIELD: {"query": "free text", "boost": 1.0}}}
+    {"match":        {FIELD: {"query": "free text", "boost": 1.0,
+                              "minimum_should_match": 2}}}   # optional
     {"match_phrase": {FIELD: {"query": "exact phrase", "boost": 1.0}}}
     {"term":         {FIELD: {"value": "token", "boost": 1.0}}}
+    {"prefix":       {FIELD: {"value": "pre", "boost": 1.0,
+                              "rewrite": "constant_score" | "scoring_boolean"}}}
+    {"wildcard":     {FIELD: {"value": "pa*er?", "boost": 1.0, "rewrite": ...}}}
+    {"fuzzy":        {FIELD: {"value": "tokn", "fuzziness": "AUTO" | 0 | 1 | 2,
+                              "prefix_length": 0, "boost": 1.0, "rewrite": ...}}}
     {"neural_sparse": {FIELD: {"query_tokens": {tok: w}, "boost": 1.0,
                               "two_phase": {"prune_ratio": 0.4,
                                             "expansion_rate": 5.0,
@@ -21,7 +27,9 @@ Supported query dicts::
                       "combination": "arithmetic_mean" | "geometric_mean"
                                    | "harmonic_mean",
                       "weights": [w, ...]}}           # optional
-    {"bool":         {"must": q, "filter": [pred, ...]}}
+    {"bool":         {"must": q | [q, ...], "should": [q, ...],
+                      "must_not": [q, ...], "filter": [pred, ...],
+                      "minimum_should_match": m}}   # Lucene BooleanQuery
     {"match_all": {}} / {"match_none": {}}
 
 Filter predicates (reference: FILTER clauses pushed into each sub-query,
@@ -52,6 +60,13 @@ from neural_search_spark.analysis.tokenizer import tokenize_py
 from neural_search_spark.index.build import IndexTables
 from neural_search_spark.query import hybrid as hybrid_mod
 from neural_search_spark.query.bm25 import bm25_score_all, topk
+from neural_search_spark.query.boolquery import (
+    MAX_BOOL_CLAUSES,
+    compose_bool_scores,
+    default_min_should_match,
+    fused_bool_scores,
+)
+from neural_search_spark.query.multiterm import multiterm_score_all
 from neural_search_spark.query.phrase import phrase_scores
 from neural_search_spark.query.sparse import (
     sparse_scores,
@@ -145,27 +160,34 @@ class QueryEngine:
             return self.docs.sparkSession.createDataFrame([], "docID long, score double")
 
         if kind == "bool":
-            must = body.get("must", {"match_all": {}})
-            filters = body.get("filter", [])
-            cond = None
-            for p in filters:
-                c = filter_condition(p)
-                cond = c if cond is None else cond & c
-            fdf = None
-            if cond is not None:
-                fdf = self.docs.where(cond).select(F.col(self.id_col).alias("docID"))
-            if prefilter is not None:
-                fdf = prefilter if fdf is None else fdf.join(prefilter, "docID", "left_semi")
-            return self._score(must, fdf, in_hybrid=in_hybrid, k=k)
+            return self._score_bool(body, prefilter, in_hybrid=in_hybrid, k=k)
 
         if kind == "match":
             field, spec = _single_field(body, "match")
             boost = float(spec.get("boost", 1.0))
             terms = Counter(tokenize_py(spec["query"]))
             weights = {t: float(m) * boost for t, m in terms.items()}
+            # minimum_should_match counts SHOULD clauses, so a term
+            # duplicated m times in the query contributes m toward the
+            # threshold (Lucene BooleanQuery keeps duplicate clauses)
+            msm = int(spec.get("minimum_should_match", 0))
             return bm25_score_all(
                 self.tables.postings, self.tables.doclens, self.tables.term_stats,
                 self.tables.meta, weights, prefilter=prefilter,
+                min_should_match=msm,
+                clause_counts={t: int(m) for t, m in terms.items()} if msm > 1 else None,
+            )
+
+        if kind in ("prefix", "wildcard", "fuzzy"):
+            field, spec = _single_field(body, kind)
+            return multiterm_score_all(
+                self.tables.postings, self.tables.doclens, self.tables.term_stats,
+                self.tables.meta, kind, str(spec["value"]),
+                boost=float(spec.get("boost", 1.0)),
+                rewrite=spec.get("rewrite", "constant_score"),
+                fuzziness=spec.get("fuzziness"),
+                prefix_length=int(spec.get("prefix_length", 0)),
+                prefilter=prefilter,
             )
 
         if kind == "match_phrase":
@@ -232,6 +254,71 @@ class QueryEngine:
             ) if in_hybrid else QueryValidationError("use search() for hybrid queries")
 
         raise QueryValidationError(f"unknown query kind: {kind}")
+
+    def _score_bool(
+        self, body: dict, prefilter: DataFrame | None, in_hybrid: bool = False, k: int = 10
+    ) -> DataFrame:
+        """Lucene BooleanQuery: must/should/must_not/filter +
+        minimum_should_match (see query/boolquery.py for the scoring
+        model). `must` accepts a single query dict (back-compat) or a
+        list; `should`/`must_not` are lists. All-lexical bools run as ONE
+        fused postings scan; any other clause mix composes per-clause."""
+
+        def listify(x):
+            if x is None:
+                return []
+            return x if isinstance(x, list) else [x]
+
+        musts = listify(body.get("must"))
+        shoulds = listify(body.get("should"))
+        must_nots = listify(body.get("must_not"))
+        filters = body.get("filter", [])
+        cond = None
+        for p in filters:
+            c = filter_condition(p)
+            cond = c if cond is None else cond & c
+        fdf = None
+        if cond is not None:
+            fdf = self.docs.where(cond).select(F.col(self.id_col).alias("docID"))
+        if prefilter is not None:
+            fdf = prefilter if fdf is None else fdf.join(prefilter, "docID", "left_semi")
+
+        if not musts and not shoulds and not must_nots:
+            # filter-only / empty bool: every (filtered) doc matches —
+            # back-compat with the previous {"must": match_all} default
+            return self._score({"match_all": {}}, fdf, in_hybrid=in_hybrid, k=k)
+
+        msm = default_min_should_match(
+            len(musts), len(filters) + (1 if prefilter is not None else 0),
+            body.get("minimum_should_match"),
+        )
+        if msm > len(shoulds):
+            # unsatisfiable threshold matches nothing (Lucene semantics)
+            return self.docs.sparkSession.createDataFrame([], "docID long, score double")
+
+        clause_w = [self._lexical_weights(q) for q in musts + shoulds + must_nots]
+        if all(w is not None for w in clause_w) and len(clause_w) <= MAX_BOOL_CLAUSES:
+            nm, ns = len(musts), len(shoulds)
+            return fused_bool_scores(
+                self.tables.postings, self.tables.doclens, self.tables.term_stats,
+                self.tables.meta,
+                clause_w[:nm], clause_w[nm:nm + ns], clause_w[nm + ns:],
+                min_should_match=msm, prefilter=fdf,
+            )
+
+        universe = None
+        if not musts and not shoulds:
+            universe = (
+                fdf if fdf is not None
+                else self.docs.select(F.col(self.id_col).alias("docID"))
+            )
+        return compose_bool_scores(
+            [self._score(q, fdf, in_hybrid=in_hybrid, k=k) for q in musts],
+            [self._score(q, fdf, in_hybrid=in_hybrid, k=k) for q in shoulds],
+            [self._score(q, None, in_hybrid=in_hybrid, k=k).select("docID") for q in must_nots],
+            min_should_match=msm,
+            universe=universe,
+        )
 
     def _score_neural(
         self, body: dict, prefilter: DataFrame | None, k: int = 10
@@ -393,6 +480,9 @@ class QueryEngine:
         body = sub[kind]
         if kind == "match":
             _, spec = _single_field(body, "match")
+            if int(spec.get("minimum_should_match", 0)) > 1:
+                return None  # msm is a per-doc clause-count constraint the
+                # weight-sum fusion cannot express — generic path
             boost = float(spec.get("boost", 1.0))
             return {t: float(m) * boost for t, m in Counter(tokenize_py(spec["query"])).items()}
         if kind == "term":
