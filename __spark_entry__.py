@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from neural_search_spark import ops  # noqa: E402
 from neural_search_spark.analysis.tokenizer import tokenize_col  # noqa: E402
 from neural_search_spark.index.build import build_index_tables  # noqa: E402
-from neural_search_spark.query import bm25, boolquery, hybrid, multiterm, sparse  # noqa: E402
+from neural_search_spark.query import bm25, boolquery, hybrid, multiterm, sparse, suggest  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # shared fixtures: fixed query-term sets (vocabulary of the synthetic docs)
@@ -45,6 +45,7 @@ BOOL_NOT = [{"dup": 1.0}]
 PREFIX_VALUE = "s"  # scoring_boolean expansion: scan slow small sort spark stream
 WILDCARD_VALUE, WILDCARD_BOOST = "s*a*", 1.5  # LIKE 's%a%'
 FUZZY_VALUE, FUZZY_MAXD = "port", 1  # Levenshtein ≤1: part, sort
+SUGGEST_VALUE = "sart"  # → sort(d1), then d2 ties {scan, spark} ranked by df
 K = 10
 CHUNK_LIMIT, CHUNK_OVERLAP = 20, 0.25  # step 15
 CHUNK_MAXN = 3  # max_chunk_limit for the *_limited chunk queries
@@ -450,6 +451,15 @@ def q_bool_should_top10(spark, sf_dir):
     return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
+def q_term_suggest(spark, sf_dir):
+    """Term suggester (did-you-mean): dictionary terms within 2 classic
+    Levenshtein edits sharing the first letter, ranked distance asc /
+    df desc / term asc (query/suggest.py) — one filter + bounded top-k
+    over the vocabulary-sized dictionary."""
+    t = _index(spark, sf_dir)
+    return suggest.term_suggest(t.term_stats, SUGGEST_VALUE, size=5)
+
+
 def q_sparse_linear_top10(spark, sf_dir):
     t = _index(spark, sf_dir)
     weights = t.postings.select("term", F.col("docID"), F.col("tf").cast("double").alias("weight"))
@@ -588,6 +598,38 @@ def q_simhash_pairs(spark, sf_dir):
         bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     )
+
+
+SAMPLE_RATE, SAMPLE_SEED = 0.25, "0"
+STRAT_N = 20  # per-lang quota
+PACK_BUDGET = 5000  # n_chars per training pack
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic corpus sampling: survive iff hash60(id#seed) <
+    rate·2^60 (ops/sampling.py) — a stateless filter, same bytes on every
+    run and in every engine."""
+    out = ops.hash_sample(_docs(spark, sf_dir), SAMPLE_RATE, "doc_id", SAMPLE_SEED)
+    return out.select("doc_id", "lang")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language quota sampling: ≤ STRAT_N docs per lang by hash order
+    (the deterministic uniform-without-replacement analog)."""
+    out = ops.stratified_sample(
+        _docs(spark, sf_dir), "lang", STRAT_N, key_col="doc_id", seed=SAMPLE_SEED
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Contiguous-fill sequence packing for fixed-budget training batches:
+    pack_id = floor(prefix_sum(n_chars)/budget) under doc_id order —
+    computed with the keys-first distributed prefix-sum, never a global
+    single-partition window."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("n_chars").cast("long").alias("n_tok"))
+    out = ops.pack_sequences(docs, "n_tok", PACK_BUDGET, order_col="doc_id")
+    return out.select("doc_id", "pack_id", "pack_offset")
 
 
 def q_quality_features(spark, sf_dir):
@@ -1503,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_scoring_top10": q_prefix_scoring_top10,
         "wildcard_top10": q_wildcard_top10,
         "fuzzy_top10": q_fuzzy_top10,
+        "term_suggest": q_term_suggest,
         "sparse_linear_top10": q_sparse_linear_top10,
         "two_phase_sparse_top10": q_two_phase_sparse_top10,
         "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
@@ -1523,6 +1566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
         "content_fingerprint": q_content_fingerprint,
@@ -1640,6 +1686,16 @@ def oracle_sql() -> dict[str, str]:
   matched as (select distinct p.doc_id from postings p join mt on p.term = mt.term),
   scored as (select doc_id, 1.0::DOUBLE as score from matched)
   {_sql_rank("scored", "score", "doc_id", K)}""",
+        "term_suggest": f"""with {SQL_INDEX_CTES},
+  cand as (
+    select term, levenshtein(term, '{SUGGEST_VALUE}')::BIGINT as distance, df
+    from stats
+    where term <> '{SUGGEST_VALUE}' and term like '{SUGGEST_VALUE[0]}%'
+      and levenshtein(term, '{SUGGEST_VALUE}') <= 2
+  )
+  select row_number() over (order by distance asc, df desc, term asc)::BIGINT as rank,
+         term as suggestion, distance, df
+  from cand order by distance asc, df desc, term asc limit 5""",
         "sparse_linear_top10": f"""with {SQL_INDEX_CTES},
   q as {_sql_values(Q_SPARSE)},
   scored as (
@@ -1661,6 +1717,29 @@ def oracle_sql() -> dict[str, str]:
   select row_number() over (order by d.n_chars desc, t.doc_id asc)::BIGINT as rank,
          t.doc_id, d.n_chars::BIGINT as n_chars, t.score as previous_score
   from topk t join documents d on t.doc_id = d.doc_id""",
+        "hash_sample": f"""
+    select doc_id, lang from documents
+    where ('0x' || substr(md5(doc_id::VARCHAR || '#{SAMPLE_SEED}'), 1, 15))::BIGINT
+          < {int(SAMPLE_RATE * (1 << 60))}""",
+        "stratified_sample": f"""
+    with ranked as (
+      select doc_id, lang,
+             row_number() over (partition by lang order by
+               ('0x' || substr(md5(doc_id::VARCHAR || '#{SAMPLE_SEED}'), 1, 15))::BIGINT asc,
+               doc_id asc) as rn
+      from documents
+    )
+    select doc_id, lang from ranked where rn <= {STRAT_N}""",
+        "pack_sequences": f"""
+    with cum as (
+      select doc_id,
+             coalesce(sum(n_chars) over (order by doc_id asc
+               rows between unbounded preceding and 1 preceding), 0)::BIGINT as before
+      from documents
+    )
+    select doc_id, (before // {PACK_BUDGET})::BIGINT as pack_id,
+           (before % {PACK_BUDGET})::BIGINT as pack_offset
+    from cum""",
         "dedup_exact": """select md5(text) as text_md5, min(doc_id) as keep_id,
   count(*)::BIGINT as n_dupes from documents group by 1""",
         "minhash_signatures": f"with {SQL_SHINGLES}, {_sql_minhash_sig()} select * from sig",

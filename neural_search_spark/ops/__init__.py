@@ -27,3 +27,8 @@ from neural_search_spark.ops.chunking import (  # noqa: F401
     chunk_fixed_token_length,
 )
 from neural_search_spark.ops.similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
+from neural_search_spark.ops.sampling import (  # noqa: F401
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)

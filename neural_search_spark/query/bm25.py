@@ -138,6 +138,48 @@ def bm25_score_all(
     return scores.drop("_matched_clauses")
 
 
+def explain_terms(
+    postings: DataFrame,
+    doclens: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: dict[str, float] | list[str],
+    doc_id: int,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per-term score breakdown for one document — the Lucene Explanation
+    analog (searcher.explain()): one row per matching query term with every
+    factor of the BM25 product, so Σ contribution == bm25_score_all's score
+    for that doc. Plan: docID + term IN-list both push into the postings
+    scan, so this reads a handful of rows regardless of corpus size."""
+    if not isinstance(terms, dict):
+        terms = {t: 1.0 for t in terms}
+    spark = postings.sparkSession
+    q = query_terms_df(spark, terms)
+    m = meta.first()
+    n_docs, avgdl = m["N"], float(m["avgdl"])
+    cand = postings.where(
+        (F.col("docID") == F.lit(doc_id)) & F.col("term").isin(sorted(terms))
+    ).join(F.broadcast(q), F.col("term") == F.col("q_term"))
+    if "dl" not in postings.columns:
+        cand = cand.join(doclens, "docID")
+    cand = cand.join(F.broadcast(term_stats.where(F.col("term").isin(sorted(terms)))), "term")
+    idf = idf_col(F.col("df"), F.lit(n_docs))
+    tf_norm = bm25_score_col(F.col("tf"), F.col("dl"), F.lit(avgdl), k1, b)
+    return cand.select(
+        "term",
+        F.col("q_weight"),
+        F.col("df").cast("long").alias("df"),
+        idf.alias("idf"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.lit(avgdl).alias("avgdl"),
+        tf_norm.alias("tf_norm"),
+        (F.col("q_weight") * idf * tf_norm).alias("contribution"),
+    ).orderBy("term")
+
+
 def topk(scores: DataFrame, k: int, score_col: str = "score") -> DataFrame:
     """score desc, docID asc, limit k; adds 1-based rank.
 

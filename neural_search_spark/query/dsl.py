@@ -30,6 +30,8 @@ Supported query dicts::
     {"bool":         {"must": q | [q, ...], "should": [q, ...],
                       "must_not": [q, ...], "filter": [pred, ...],
                       "minimum_should_match": m}}   # Lucene BooleanQuery
+    {"ids":          {"values": [docID, ...]}}     # constant-score membership
+    {"exists":       {"field": column}}            # non-null field
     {"match_all": {}} / {"match_none": {}}
 
 Filter predicates (reference: FILTER clauses pushed into each sub-query,
@@ -158,6 +160,31 @@ class QueryEngine:
             return base
         if kind == "match_none":
             return self.docs.sparkSession.createDataFrame([], "docID long, score double")
+
+        if kind == "ids":
+            # constant-score membership (OpenSearch IdsQueryBuilder): the
+            # literal id list pushes into the docs scan as an In filter
+            values = [int(v) for v in body["values"]]
+            base = self.docs.where(F.col(self.id_col).isin(values)).select(
+                F.col(self.id_col).alias("docID"), F.lit(1.0).alias("score")
+            )
+            if prefilter is not None:
+                base = base.join(prefilter, "docID", "left_semi")
+            return base
+
+        if kind == "exists":
+            # docs with a non-null value for the field (constant score)
+            field = body["field"] if isinstance(body, dict) else str(body)
+            if field not in self.docs.columns:
+                raise QueryValidationError(
+                    f"unknown exists field {field!r}; available: {sorted(self.docs.columns)}"
+                )
+            base = self.docs.where(F.col(field).isNotNull()).select(
+                F.col(self.id_col).alias("docID"), F.lit(1.0).alias("score")
+            )
+            if prefilter is not None:
+                base = base.join(prefilter, "docID", "left_semi")
+            return base
 
         if kind == "bool":
             return self._score_bool(body, prefilter, in_hybrid=in_hybrid, k=k)
@@ -726,11 +753,24 @@ class QueryEngine:
         affect them (it only filters the hit list) — matching OpenSearch's
         post_filter/agg contract.
 
-        `aggs` spec (a small subset of the reference surface)::
+        `aggs` spec (a subset of the reference surface)::
 
             {"by_lang": {"terms": {"field": "lang"}},
              "mean_len": {"avg": {"field": "n_chars"}},
-             "total":    {"sum"|"min"|"max"|"count": {"field": c}}}
+             "total":    {"sum"|"min"|"max"|"count": {"field": c}},
+             "by_hour":  {"date_histogram": {"field": "ts",
+                                             "calendar_interval": "hour",
+                                             "min_doc_count": 0}},
+             "len_rng":  {"range": {"field": "n_chars", "ranges": [
+                             {"to": 100}, {"from": 100, "to": 200},
+                             {"from": 200}]}}}
+
+        date_histogram buckets by date_trunc; with min_doc_count=0 (the
+        OpenSearch default) empty buckets between the observed min and max
+        keys are filled via a generated sequence — no driver-side loop.
+        range buckets follow OpenSearch: `from` inclusive, `to` exclusive,
+        overlapping ranges each count the doc, keys formatted
+        "from-to"/"*-to"/"from-*"; one conditional-sum pass, no join.
 
         Returns (hits, {agg_name: DataFrame}). Each agg is a native
         Catalyst hash-agg over matching docs (partial + final).
@@ -761,10 +801,84 @@ class QueryEngine:
                 out[name] = match_docs.agg(fn(field).alias("value"))
             elif akind == "count":
                 out[name] = match_docs.agg(F.count(field).cast("long").alias("value"))
+            elif akind == "date_histogram":
+                interval = body.get("calendar_interval", "hour")
+                if interval not in ("hour", "day", "week", "month", "year", "minute"):
+                    raise QueryValidationError(f"unsupported calendar_interval: {interval}")
+                buckets = (
+                    match_docs.groupBy(F.date_trunc(interval, F.col(field)).alias("key"))
+                    .agg(F.count("*").cast("long").alias("doc_count"))
+                )
+                if int(body.get("min_doc_count", 0)) == 0:
+                    # OpenSearch default: empty buckets between the observed
+                    # min and max keys are returned. One extra tiny agg +
+                    # sequence() generates the full key range engine-side.
+                    span = buckets.agg(
+                        F.min("key").alias("lo"), F.max("key").alias("hi")
+                    ).select(
+                        F.explode(
+                            F.sequence(
+                                "lo", "hi",
+                                F.expr(f"INTERVAL 1 {interval}"),
+                            )
+                        ).alias("key")
+                    )
+                    buckets = span.join(buckets, "key", "left").select(
+                        "key", F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count")
+                    )
+                out[name] = buckets
+            elif akind == "range":
+                ranges = body["ranges"]
+                if not ranges:
+                    raise QueryValidationError("range agg needs at least one range")
+                cols = []
+                keys = []
+                for r in ranges:
+                    lo, hi = r.get("from"), r.get("to")
+                    cond = F.lit(True)
+                    if lo is not None:
+                        cond = cond & (F.col(field) >= F.lit(lo))
+                    if hi is not None:
+                        cond = cond & (F.col(field) < F.lit(hi))
+                    key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+                    keys.append(key)
+                    cols.append(
+                        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_r{len(cols)}")
+                    )
+                row = match_docs.agg(*cols)
+                stack = ", ".join(f"'{k}', _r{i}" for i, k in enumerate(keys))
+                out[name] = row.selectExpr(
+                    f"stack({len(keys)}, {stack}) as (key, doc_count)"
+                )
             else:
                 raise QueryValidationError(f"unknown aggregation kind: {akind}")
         hits = self.search(query, k=k, post_filter=post_filter)
         return hits, out
+
+    def explain(self, query: dict, doc_id: int) -> DataFrame:
+        """Per-term score breakdown for one document — the _explain API
+        analog (Lucene Explanation): one row per matching query term with
+        (term, q_weight, df, idf, tf, dl, avgdl, tf_norm, contribution);
+        Σ contribution equals search()'s score for `doc_id`. Supported for
+        the BM25-scored lexical kinds (match / term); other kinds raise."""
+        (kind,) = query.keys()
+        body = query[kind]
+        if kind == "match":
+            _, spec = _single_field(body, "match")
+            boost = float(spec.get("boost", 1.0))
+            terms = Counter(tokenize_py(spec["query"]))
+            weights = {t: float(m) * boost for t, m in terms.items()}
+        elif kind == "term":
+            _, spec = _single_field(body, "term")
+            weights = {str(spec["value"]): float(spec.get("boost", 1.0))}
+        else:
+            raise QueryValidationError(f"explain supports match/term queries, not {kind}")
+        from neural_search_spark.query.bm25 import explain_terms
+
+        return explain_terms(
+            self.tables.postings, self.tables.doclens, self.tables.term_stats,
+            self.tables.meta, weights, doc_id,
+        )
 
     def fetch(self, result: DataFrame) -> DataFrame:
         return self.docs.join(

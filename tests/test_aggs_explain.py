@@ -1,0 +1,91 @@
+"""date_histogram / range aggregations alongside queries, and the
+per-document explain (score breakdown) API."""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import timedelta
+
+import pytest
+
+from neural_search_spark.analysis.tokenizer import tokenize_py
+
+from tests import oracle
+
+Q = {"match": {"text": {"query": "merge sort"}}}
+
+
+def _match_rows(transcripts):
+    rows = transcripts.select("docID", "text", "ts", "turn_idx").collect()
+    return [r for r in rows if {"merge", "sort"} & set(tokenize_py(r["text"]))]
+
+
+def test_date_histogram_with_gap_fill(engine, transcripts):
+    matched = _match_rows(transcripts)
+    by_hour = Counter(r["ts"].replace(minute=0, second=0, microsecond=0) for r in matched)
+    lo, hi = min(by_hour), max(by_hour)
+    expected = {}
+    cur = lo
+    while cur <= hi:
+        expected[cur] = by_hour.get(cur, 0)
+        cur += timedelta(hours=1)
+    assert 0 in expected.values() or len(expected) == len(by_hour)  # gaps possible
+
+    _, aggs = engine.search_with_aggs(
+        Q, {"by_hour": {"date_histogram": {"field": "ts", "calendar_interval": "hour"}}}
+    )
+    got = {r["key"]: r["doc_count"] for r in aggs["by_hour"].collect()}
+    assert got == expected
+
+
+def test_date_histogram_min_doc_count_1(engine, transcripts):
+    matched = _match_rows(transcripts)
+    by_hour = Counter(r["ts"].replace(minute=0, second=0, microsecond=0) for r in matched)
+    _, aggs = engine.search_with_aggs(
+        Q, {"by_hour": {"date_histogram": {"field": "ts", "calendar_interval": "hour",
+                                           "min_doc_count": 1}}}
+    )
+    got = {r["key"]: r["doc_count"] for r in aggs["by_hour"].collect()}
+    assert got == dict(by_hour)
+
+
+def test_range_agg_overlapping_and_open(engine, transcripts):
+    matched = _match_rows(transcripts)
+    ranges = [{"to": 3}, {"from": 2, "to": 6}, {"from": 4}]
+    expected = {
+        "*-3": sum(1 for r in matched if r["turn_idx"] < 3),
+        "2-6": sum(1 for r in matched if 2 <= r["turn_idx"] < 6),
+        "4-*": sum(1 for r in matched if r["turn_idx"] >= 4),
+    }
+    _, aggs = engine.search_with_aggs(
+        Q, {"rng": {"range": {"field": "turn_idx", "ranges": ranges}}}
+    )
+    got = {r["key"]: r["doc_count"] for r in aggs["rng"].collect()}
+    assert got == expected
+    # overlap: a doc with turn_idx=2 is in both *-3 and 2-6
+    assert sum(expected.values()) >= len(matched)
+
+
+def test_explain_sums_to_search_score(engine, transcripts):
+    docs = {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
+    scores = oracle.bm25_scores(docs, {"merge": 1.0, "sort": 1.0})
+    # pick a doc matching both terms if possible, else any match
+    both = [d for d, t in docs.items() if {"merge", "sort"} <= set(tokenize_py(t))]
+    target = both[0] if both else max(scores, key=scores.get)
+    parts = engine.explain(Q, target).collect()
+    assert parts, "explain must return matching terms"
+    total = sum(r["contribution"] for r in parts)
+    assert total == pytest.approx(scores[target], rel=1e-9)
+    for r in parts:
+        assert r["contribution"] == pytest.approx(
+            r["q_weight"] * r["idf"] * r["tf_norm"], rel=1e-12
+        )
+    if both:
+        assert {r["term"] for r in parts} == {"merge", "sort"}
+
+
+def test_explain_rejects_non_lexical(engine):
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    with pytest.raises(QueryValidationError):
+        engine.explain({"match_all": {}}, 0)
