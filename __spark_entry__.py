@@ -343,6 +343,49 @@ def q_hybrid_batch_top5(spark, sf_dir):
     )
 
 
+QREL_MOD, QREL_GRADE2_MOD = 5, 3  # judged: doc_id%5==0; grade 2 if also %3==0
+
+
+def q_rank_eval_batch(spark, sf_dir):
+    """Offline eval pipeline end-to-end: ONE-scan batch retrieval
+    (query/batch.py) → precision/recall/MRR/NDCG@5 per query against
+    deterministic synthetic judgments (ops/rank_eval.py). qrels are tiny
+    and broadcast; metrics are one groupBy on query_id — the corpus is
+    touched only by the retrieval scan."""
+    from neural_search_spark.ops.rank_eval import rank_eval
+    from neural_search_spark.query.batch import bm25_score_batch, per_query_topk
+
+    t = _index(spark, sf_dir)
+    rows = [
+        (qid, term, w)
+        for qid, terms in Q_BATCH.items()
+        for term, w in sorted(terms.items())
+    ]
+    queries = spark.createDataFrame(rows, "query_id long, term string, weight double")
+    scores = bm25_score_batch(t.postings, t.doclens, t.term_stats, t.meta, queries)
+    run = per_query_topk(scores.withColumn("score", F.round("score", 6)), k=5)
+    judged = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % QREL_MOD == 0)
+        .select(
+            F.col("doc_id").alias("docID"),
+            (
+                F.lit(1)
+                + F.when(F.col("doc_id") % QREL_GRADE2_MOD == 0, 1).otherwise(0)
+            ).alias("grade"),
+        )
+    )
+    qrels = queries.select("query_id").distinct().crossJoin(judged)
+    out = rank_eval(run.select("query_id", "docID", "rank"), qrels, k=5)
+    return out.select(
+        "query_id",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
 def q_bm25_wand_top10(spark, sf_dir):
     """Same BM25 query, but executed over the compressed block segments with
     block-max WAND pruning (query/segment_search.py) — proves the segment
@@ -1063,6 +1106,68 @@ def _oracle_bm25_batch(qdefs: dict[int, dict[str, float]], k: int) -> str:
   select query_id, rank, doc_id, score from ranked where rank <= {k}"""
 
 
+def _oracle_rank_eval(qdefs: dict[int, dict[str, float]], k: int) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}', {float(w)!r}::DOUBLE)"
+        for qid, terms in sorted(qdefs.items())
+        for t, w in sorted(terms.items())
+    )
+    return f"""with {SQL_INDEX_CTES},
+  qb as (select * from (values {vals}) as t(query_id, term, w)),
+  scored as (
+    select q.query_id::BIGINT as query_id, p.doc_id,
+           round(sum(q.w * ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                     * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) as score
+    from postings p
+    join qb q on p.term = q.term
+    join stats s on p.term = s.term
+    join doclens d on p.doc_id = d.doc_id
+    cross join meta m
+    group by 1, 2
+  ),
+  ranked as (
+    select query_id,
+           row_number() over (partition by query_id
+                              order by score desc, doc_id asc)::BIGINT as rank,
+           doc_id
+    from scored
+  ),
+  topk as (select query_id, rank, doc_id from ranked where rank <= {k}),
+  qrels as (
+    select q.query_id, d.doc_id,
+           (1 + case when d.doc_id % {QREL_GRADE2_MOD} = 0 then 1 else 0 end)::DOUBLE as grade
+    from (select distinct query_id from qb) q
+    cross join (select doc_id from documents where doc_id % {QREL_MOD} = 0) d
+  ),
+  hits as (
+    select t.query_id, t.rank, coalesce(r.grade, 0) as grade
+    from topk t left join qrels r on t.query_id = r.query_id and t.doc_id = r.doc_id
+  ),
+  aggq as (
+    select query_id,
+           sum(case when grade > 0 then 1 else 0 end)::DOUBLE as n_rel_ret,
+           max(case when grade > 0 then 1.0 / rank else 0 end) as mrr,
+           sum((pow(2, grade) - 1) / log2(rank + 1)) as dcg
+    from hits group by 1
+  ),
+  nrel as (select query_id, count(*)::DOUBLE as n_rel from qrels where grade > 0 group by 1),
+  ideal as (
+    select query_id, sum((pow(2, grade) - 1) / log2(irank + 1)) as idcg
+    from (select query_id, grade,
+                 row_number() over (partition by query_id
+                                    order by grade desc, doc_id asc) as irank
+          from qrels where grade > 0)
+    where irank <= {k} group by 1
+  )
+  select a.query_id,
+         round(a.n_rel_ret / {k}, 6) as precision,
+         round(coalesce(a.n_rel_ret / nullif(n.n_rel, 0), 0), 6) as recall,
+         round(a.mrr, 6) as mrr,
+         round(coalesce(a.dcg / nullif(i.idcg, 0), 0), 6) as ndcg
+  from aggq a left join nrel n on a.query_id = n.query_id
+  left join ideal i on a.query_id = i.query_id"""
+
+
 def _oracle_sparse_batch(qdefs: dict[int, dict[str, float]], k: int) -> str:
     vals = ", ".join(
         f"({qid}, '{t}', {float(w)!r}::DOUBLE)"
@@ -1535,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
         "bm25_batch_top5": q_bm25_batch_top5,
+        "rank_eval_batch": q_rank_eval_batch,
         "sparse_batch_top5": q_sparse_batch_top5,
         "hybrid_batch_top5": q_hybrid_batch_top5,
         "bm25_wand_top10": q_bm25_wand_top10,
@@ -1629,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _oracle_bm25(Q_BM25),
         "bm25_weighted_top10": _oracle_bm25(Q_BM25_W),
         "bm25_batch_top5": _oracle_bm25_batch(Q_BATCH, k=5),
+        "rank_eval_batch": _oracle_rank_eval(Q_BATCH, k=5),
         "sparse_batch_top5": _oracle_sparse_batch(Q_SPARSE_BATCH, k=5),
         "hybrid_batch_top5": _oracle_hybrid_batch(Q_HY_BATCH, k=5),
         "bm25_wand_top10": _oracle_bm25(Q_BM25),
