@@ -548,6 +548,26 @@ def q_hybrid_minmax_harmonic(spark, sf_dir):
     return _hybrid(spark, sf_dir, "min_max", "harmonic_mean")
 
 
+def q_hybrid_rrf_top10(spark, sf_dir):
+    """Reciprocal rank fusion over the same two lexical sub-queries —
+    rank-based fusion (scale-free, the standard alternative to score
+    normalization; query/hybrid.py rrf_combine). Same ONE-postings-scan
+    sub-query scoring as the other hybrids."""
+    t = _index(spark, sf_dir)
+    fused = hybrid.fused_bm25_subquery_scores(t, [Q_HY_A, Q_HY_B])
+    rounded = fused.withColumn("score", F.round("score", 6))
+    bounded = hybrid.per_subquery_topk(rounded, K)
+    combined = hybrid.rrf_combine(bounded, 2, rank_constant=60)
+    return _ranked(
+        combined.withColumn("score", F.round("score", 6)).withColumnRenamed(
+            "docID", "doc_id"
+        ),
+        "score",
+        "doc_id",
+        K,
+    )
+
+
 def q_rerank_by_field(spark, sf_dir):
     """By-field rerank of the BM25 top-k (processor/rerank/
     ByFieldRerankProcessor.java): re-order the k hits by documents.n_chars
@@ -1279,6 +1299,22 @@ def _oracle_hybrid(normalization: str, combination: str) -> str:
   {_sql_rank("combined", "score", "doc_id", K)}"""
 
 
+def _oracle_hybrid_rrf(rank_constant: int = 60) -> str:
+    return f"""with {SQL_INDEX_CTES},
+  {_sql_bm25_scored(Q_HY_A, "sa")},
+  {_sql_bm25_scored(Q_HY_B, "sb")},
+  ra as (select doc_id, row_number() over (order by score desc, doc_id asc) as r
+         from sa order by score desc, doc_id asc limit {K}),
+  rb as (select doc_id, row_number() over (order by score desc, doc_id asc) as r
+         from sb order by score desc, doc_id asc limit {K}),
+  combined as (
+    select doc_id, round(sum(1.0 / ({rank_constant} + r)), 6) as score
+    from (select * from ra union all select * from rb)
+    group by 1
+  )
+  {_sql_rank("combined", "score", "doc_id", K)}"""
+
+
 def _oracle_two_phase() -> str:
     high, low = sparse.split_query_tokens(Q_SPARSE)
     window = min(int(K * sparse.EXPANSION_RATE), sparse.MAX_WINDOW_SIZE)
@@ -1657,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
         "hybrid_l2_geometric": q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
+        "hybrid_rrf_top10": q_hybrid_rrf_top10,
         "neural_top10": q_neural_top10,
         "neural_radial": q_neural_radial,
         "neural_rescore_top10": q_neural_rescore_top10,
@@ -1814,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_minmax_arithmetic": _oracle_hybrid("min_max", "arithmetic_mean"),
         "hybrid_l2_geometric": _oracle_hybrid("l2", "geometric_mean"),
         "hybrid_minmax_harmonic": _oracle_hybrid("min_max", "harmonic_mean"),
+        "hybrid_rrf_top10": _oracle_hybrid_rrf(),
         "neural_top10": _oracle_neural_top10(),
         "neural_radial": _oracle_neural_radial(),
         "neural_rescore_top10": _oracle_neural_rescore(),

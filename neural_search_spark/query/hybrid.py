@@ -210,6 +210,72 @@ def combine_scores(
     return pivoted.select(*group_cols, combined.alias("score"))
 
 
+def rrf_combine(
+    bounded: DataFrame,
+    n_subqueries: int,
+    rank_constant: int = 60,
+    weights: list[float] | None = None,
+    group_cols: tuple[str, ...] = ("docID",),
+    partition_cols: tuple[str, ...] = ("subquery_idx",),
+) -> DataFrame:
+    """Reciprocal rank fusion over per-sub-query bounded result lists:
+    score(d) = Σ_j w_j / (rank_constant + rank_j(d)), docs absent from a
+    sub-query's list contribute 0 for that j.
+
+    The reference snapshot predates OpenSearch's RRF processor and ships
+    score-based normalization only; this is the standard public RRF
+    (Cormack/Clarke/Büttcher, SIGIR'09 — rank_constant default 60 from the
+    paper) offered as an extra combination technique because rank fusion is
+    insensitive to incomparable score scales (BM25 vs cosine), the usual
+    reason hybrid users pick it.
+
+    Plan shape: ranks come from a window over the already-bounded
+    ≤ n_subqueries·k rows (coordinator-scale, same as normalize_scores);
+    the fusion itself is one groupBy-sum on `group_cols`. Batch callers
+    pass group_cols=("query_id","docID") / partition_cols=("query_id",
+    "subquery_idx")."""
+    if weights is not None and len(weights) != n_subqueries:
+        raise ValueError("number of weights must match number of sub-queries")
+    ws = weights or [1.0] * n_subqueries
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col("score").desc(), F.col("docID").asc()
+    )
+    wmap = F.create_map(
+        *[x for j in range(n_subqueries) for x in (F.lit(j), F.lit(float(ws[j])))]
+    )
+    part = wmap[F.col("subquery_idx")] / (
+        F.lit(float(rank_constant)) + F.row_number().over(w)
+    )
+    return (
+        bounded.withColumn("_rrf", part)
+        .groupBy(*group_cols)
+        .agg(F.sum("_rrf").alias("score"))
+    )
+
+
+def hybrid_rrf_topk(
+    index: IndexTables,
+    subqueries: list[dict[str, float] | list[str]],
+    k: int = 10,
+    rank_constant: int = 60,
+    weights: list[float] | None = None,
+    subquery_k: int | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Hybrid pipeline with RRF fusion instead of normalize+combine —
+    same ONE-postings-scan sub-query scoring, rank-based reduction."""
+    if not 1 <= len(subqueries) <= MAX_SUBQUERIES:
+        raise ValueError(f"hybrid query accepts 1..{MAX_SUBQUERIES} sub-queries (HybridQueryBuilder.java:56)")
+    subquery_k = subquery_k or k
+    scores = fused_bm25_subquery_scores(index, subqueries, k1, b)
+    bounded = per_subquery_topk(scores, subquery_k)
+    combined = rrf_combine(bounded, len(subqueries), rank_constant, weights)
+    top = combined.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("docID").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "docID", "score")
+
+
 def hybrid_topk(
     index: IndexTables,
     subqueries: list[dict[str, float] | list[str]],

@@ -87,6 +87,38 @@ def test_weights_validation(spark):
         H.combine_scores(df, 1, "arithmetic_mean", [0.5, 0.5])
 
 
+def test_rrf_combine_hand_computed(spark):
+    # sq0: doc1 r1, doc2 r2; sq1: doc2 r1, doc3 r2; constant 60
+    df = _scores_df(spark, [(0, 1, 5.0), (0, 2, 3.0), (1, 2, 10.0), (1, 3, 1.0)])
+    out = {r["docID"]: r["score"] for r in H.rrf_combine(df, 2).collect()}
+    assert out[1] == pytest.approx(1 / 61)
+    assert out[2] == pytest.approx(1 / 61 + 1 / 62)
+    assert out[3] == pytest.approx(1 / 62)
+
+
+def test_rrf_combine_weighted_and_ties(spark):
+    # tie inside sq0 (same score) breaks by docID asc → doc1 r1, doc2 r2
+    df = _scores_df(spark, [(0, 1, 5.0), (0, 2, 5.0), (1, 2, 1.0)])
+    out = {
+        r["docID"]: r["score"]
+        for r in H.rrf_combine(df, 2, rank_constant=10, weights=[2.0, 1.0]).collect()
+    }
+    assert out[1] == pytest.approx(2 / 11)
+    assert out[2] == pytest.approx(2 / 12 + 1 / 11)
+
+
+def test_hybrid_rrf_topk_e2e(spark, index_tables):
+    from neural_search_spark.query.hybrid import hybrid_rrf_topk
+
+    out = hybrid_rrf_topk(index_tables, [["spark", "data"], ["cache", "heap"]], k=10).collect()
+    assert 0 < len(out) <= 10
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # every fused score is a sum of reciprocals bounded by 2/(60+1)
+    assert all(0 < s <= 2 / 61 for s in scores)
+
+
 # ---------------------------------------------------------------------------
 # sparse quantization
 # ---------------------------------------------------------------------------
