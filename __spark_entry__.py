@@ -67,6 +67,10 @@ EMB_DUP_PLANES = 16
 IVF_CLUSTERS, IVF_NPROBE = 16, 4
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 PHRASE_TERMS = ["table", "part"]  # exact-adjacency phrase, ~30 docs at sf0.01
+# span-near proximity: same pair with slop=2 in-order (~70 docs) + an
+# unordered pair (~129 docs) — supersets of the exact phrase's match set
+SPAN_TERMS, SPAN_SLOP = ["table", "part"], 2
+SPAN_U_TERMS, SPAN_U_SLOP = ["merge", "sort"], 2
 # decontamination: docs with doc_id % DECON_MOD == 0 act as the "benchmark"
 # set; n=3 grams (production default is 13 — the synthetic fixture's texts
 # are too short/random for 13-gram overlaps)
@@ -1091,6 +1095,39 @@ def _oracle_phrase(terms: list[str], k: int = K) -> str:
     {_sql_rank("scored", "score", "doc_id", k)}"""
 
 
+def _oracle_span_near(terms: list[str], slop: int, in_order: bool, k: int = K) -> str:
+    """Two-term span-near BM25 (mirror of query/phrase.py span_near_*):
+    anchors are distinct first-term positions (in-order) / window-min
+    positions (unordered) with a slop-budget partner; scored as a phrase
+    pseudo-term with tf = COUNT(DISTINCT anchors)."""
+    assert len(terms) == 2, "SQL oracle covers the 2-term driver entries"
+    t0, t1 = terms
+    if in_order:
+        pair_cond = f"b.pos > a.pos and b.pos <= a.pos + {slop + 1}"
+        anchor = "a.pos"
+    else:
+        pair_cond = f"abs(b.pos - a.pos) <= {slop + 1} and b.pos <> a.pos"
+        anchor = "least(a.pos, b.pos)"
+    return f"""
+    with {SQL_INDEX_CTES},
+    tokarr as ({SQL_TOKARR}),
+    tokpos as (select doc_id, unnest(toks) as term, unnest(range(len(toks))) as pos
+               from tokarr),
+    anchors as (select distinct a.doc_id, {anchor} as p0
+                from tokpos a join tokpos b using(doc_id)
+                where a.term = '{t0}' and b.term = '{t1}' and {pair_cond}),
+    sntf as (select doc_id, count(*)::BIGINT as sntf from anchors group by doc_id),
+    sidf as (select sum(ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))) as sidf
+             from (select unnest(['{t0}', '{t1}']) as term) q
+             join stats s using(term) cross join meta m),
+    scored as (select p.doc_id,
+                      round(sidf.sidf * p.sntf
+                            / (p.sntf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl)), 6) as score
+               from sntf p join doclens d using(doc_id)
+               cross join meta m cross join sidf)
+    {_sql_rank("scored", "score", "doc_id", k)}"""
+
+
 def _oracle_bm25(tokens: dict[str, float], k: int = K) -> str:
     return f"with {SQL_INDEX_CTES}, {_sql_bm25_scored(tokens)} " + _sql_rank(
         "scored", "score", "doc_id", k
@@ -1648,6 +1685,32 @@ def q_phrase_top10(spark, sf_dir):
     return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
+def q_span_near_top10(spark, sf_dir):
+    """In-order span-near top-10 (SpanNearQuery shape): SPAN_TERMS within
+    SPAN_SLOP, scored as a phrase pseudo-term with tf = proximity freq."""
+    from neural_search_spark.query.phrase import span_near_scores
+
+    idx = _index(spark, sf_dir)
+    scored = span_near_scores(
+        _positional(spark, sf_dir), idx.term_stats, idx.meta,
+        SPAN_TERMS, slop=SPAN_SLOP, in_order=True,
+    )
+    return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_span_unordered_top10(spark, sf_dir):
+    """Unordered span-near top-10: SPAN_U_TERMS within SPAN_U_SLOP either
+    direction; anchor = window min position."""
+    from neural_search_spark.query.phrase import span_near_scores
+
+    idx = _index(spark, sf_dir)
+    scored = span_near_scores(
+        _positional(spark, sf_dir), idx.term_stats, idx.meta,
+        SPAN_U_TERMS, slop=SPAN_U_SLOP, in_order=False,
+    )
+    return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing ≥1 token n-gram with
     the held-out 'benchmark' subset (doc_id % DECON_MOD == 0)."""
@@ -1672,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_meta": q_collection_meta,
         "positional_postings": q_positional_postings,
         "phrase_top10": q_phrase_top10,
+        "span_near_top10": q_span_near_top10,
+        "span_unordered_top10": q_span_unordered_top10,
         "decontaminate": q_decontaminate,
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
@@ -1762,6 +1827,8 @@ def oracle_sql() -> dict[str, str]:
     from (select doc_id, unnest(toks) as term, unnest(range(len(toks))) as pos
           from ({SQL_TOKARR}))""",
         "phrase_top10": _oracle_phrase(PHRASE_TERMS, K),
+        "span_near_top10": _oracle_span_near(SPAN_TERMS, SPAN_SLOP, True, K),
+        "span_unordered_top10": _oracle_span_near(SPAN_U_TERMS, SPAN_U_SLOP, False, K),
         "decontaminate": f"""
     with {SQL_SHINGLES},
     bench as (select distinct shingle from shingles where id % {DECON_MOD} = 0)

@@ -7,7 +7,10 @@ Supported query dicts::
 
     {"match":        {FIELD: {"query": "free text", "boost": 1.0,
                               "minimum_should_match": 2}}}   # optional
-    {"match_phrase": {FIELD: {"query": "exact phrase", "boost": 1.0}}}
+    {"match_phrase": {FIELD: {"query": "exact phrase", "boost": 1.0,
+                              "slop": 0}}}  # slop>0 → in-order span match
+    {"span_near":    {"field": FIELD, "terms": [t, ...], "slop": 0,
+                      "in_order": True, "boost": 1.0}}  # SpanNearQuery
     {"term":         {FIELD: {"value": "token", "boost": 1.0}}}
     {"prefix":       {FIELD: {"value": "pre", "boost": 1.0,
                               "rewrite": "constant_score" | "scoring_boolean"}}}
@@ -220,6 +223,7 @@ class QueryEngine:
         if kind == "match_phrase":
             field, spec = _single_field(body, "match_phrase")
             boost = float(spec.get("boost", 1.0))
+            slop = int(spec.get("slop", 0))
             terms = tokenize_py(spec["query"])  # ordered, duplicates kept
             if not terms:
                 return self.docs.sparkSession.createDataFrame([], "docID long, score double")
@@ -228,9 +232,43 @@ class QueryEngine:
                     "match_phrase requires a positional index — construct the "
                     "engine with positional=build_positional_postings(docs)"
                 )
+            if slop > 0:
+                # slop>0 routes to the in-order span matcher (set semantics;
+                # Lucene's SloppyPhraseMatcher additionally allows
+                # transpositions at cost 2 and weights matches 1/(1+slop) —
+                # documented divergence, see query/phrase.py docstring)
+                from neural_search_spark.query.phrase import span_near_scores
+
+                return span_near_scores(
+                    self.positional, self.tables.term_stats, self.tables.meta,
+                    terms, slop=slop, in_order=True, boost=boost, prefilter=prefilter,
+                )
             return phrase_scores(
                 self.positional, self.tables.term_stats, self.tables.meta,
                 terms, boost=boost, prefilter=prefilter,
+            )
+
+        if kind == "span_near":
+            # Lucene SpanNearQuery shape: terms within a slop-bounded window,
+            # ordered or unordered. {"span_near": {"field": f, "terms": [...],
+            # "slop": n, "in_order": true, "boost": 1.0}}
+            if self.positional is None:
+                raise QueryValidationError(
+                    "span_near requires a positional index — construct the "
+                    "engine with positional=build_positional_postings(docs)"
+                )
+            terms = [str(t) for t in body["terms"]]
+            if not terms:
+                return self.docs.sparkSession.createDataFrame([], "docID long, score double")
+            from neural_search_spark.query.phrase import span_near_scores
+
+            return span_near_scores(
+                self.positional, self.tables.term_stats, self.tables.meta,
+                terms,
+                slop=int(body.get("slop", 0)),
+                in_order=bool(body.get("in_order", True)),
+                boost=float(body.get("boost", 1.0)),
+                prefilter=prefilter,
             )
 
         if kind == "term":

@@ -17,9 +17,17 @@ scored like a single pseudo-term whose tf is the exact phrase frequency and
 whose idf is the SUM of the member terms' idfs, one addend per phrase
 position (PhraseWeight passes every position's TermStatistics, so repeated
 terms contribute twice; Lucene ≥ 8 drops the (k1+1) numerator — we follow).
-Sloppy phrases (slop > 0) are a documented non-goal: Lucene's sloppy-freq
-algorithm is inherently doc-at-a-time; exact adjacency is the common case
-and the only one with clean set semantics.
+
+Sloppy proximity matching is provided as `span_near_*` (Lucene's
+SpanNearQuery shape: terms within a window, ordered or unordered) with
+clean SET semantics rather than Lucene's doc-at-a-time sloppy-freq:
+a doc matches iff one position per term exists whose total span fits the
+slop budget, and the proximity frequency counts DISTINCT anchor positions
+of the first term that can complete a valid span (Lucene instead weights
+each match 1/(1+slop_used) via SloppyPhraseMatcher — an explicitly
+documented divergence; our count is order-independent, deterministic, and
+relational). Scoring then reuses the phrase pseudo-term formula with
+tf = that proximity frequency.
 
 Scale notes (100 TB / 10^12 turns):
 - the Arrow fast path builds position lists batch-locally (a doc lives in
@@ -229,6 +237,151 @@ def phrase_scores(
             * bm25_score_col(F.col("ptf").cast("double"), F.col("dl"), F.lit(avgdl), k1, b)
         ).alias("score"),
     )
+
+
+def span_near_match(
+    positional: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """(docID, sntf, dl): docs where `terms` occur within a slop-bounded
+    window (Lucene SpanNearQuery shape), with the proximity frequency.
+
+    Semantics (set-based; see module docstring for the documented
+    divergence from Lucene's sloppy-freq weighting):
+
+    - ``in_order=True``: doc matches at anchor p₀ ∈ positions(t₀) iff
+      strictly increasing p₀ < p₁ < … < p_{q−1} exist with
+      pᵢ ∈ positions(tᵢ) and total span p_{q−1} − p₀ − (q−1) ≤ slop.
+      slop=0 therefore equals the exact phrase match.
+    - ``in_order=False``: one position per term (terms must be distinct —
+      a token stream gives different terms disjoint positions, so no
+      overlap check is needed) with max − min − (q−1) ≤ slop; the anchor
+      is the window's min position.
+
+    sntf = COUNT(DISTINCT anchors) per doc.
+
+    Scale: the chain of q−1 joins touches only the q query terms' postings
+    (IN-list reaches the scan), and every intermediate join carries the
+    span bound pᵢ ≤ p₀ + slop + i (in-order) / window-width ≤ slop+q−1
+    (unordered) IN the join condition, so per-doc blow-up is pruned before
+    it materializes — the surviving rows are exactly the position tuples a
+    Lucene SpansTreeQuery would walk, set-at-a-time.
+    """
+    if not terms:
+        raise ValueError("span_near needs at least one term")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if not in_order and len(set(terms)) != len(terms):
+        raise ValueError("unordered span_near requires distinct terms")
+    q = len(terms)
+    base = positional.where(F.col("term").isin(sorted(set(terms))))
+    if prefilter is not None:
+        base = base.join(prefilter, "docID", "left_semi")
+    # docs lacking any member term can never match: semi-join the chain's
+    # start down to full-coverage docs first (q-way conjunction is rare)
+    cover = (
+        base.groupBy("docID")
+        .agg(F.count_distinct("term").alias("_nt"), F.first("dl").alias("dl"))
+        .where(F.col("_nt") == len(set(terms)))
+        .select("docID", "dl")
+    )
+    pos = base.select(
+        "term", "docID", F.explode("positions").alias("pos")
+    ).join(cover.select("docID"), "docID", "left_semi")
+
+    def pterm(t: str, alias: str) -> DataFrame:
+        return pos.where(F.col("term") == t).select("docID", F.col("pos").alias(alias))
+
+    if in_order:
+        cur = pterm(terms[0], "p0").withColumn("cur", F.col("p0"))
+        for i in range(1, q):
+            nxt = pterm(terms[i], "_pi")
+            cur = (
+                cur.join(nxt, "docID")
+                .where(
+                    (F.col("_pi") > F.col("cur"))
+                    & (F.col("_pi") <= F.col("p0") + F.lit(slop + i))
+                )
+                .select("docID", "p0", F.col("_pi").alias("cur"))
+            )
+        anchors = cur.select("docID", "p0").distinct()
+    else:
+        width = slop + q - 1
+        cur = pterm(terms[0], "_p").select(
+            "docID", F.col("_p").alias("wmin"), F.col("_p").alias("wmax")
+        )
+        for i in range(1, q):
+            nxt = pterm(terms[i], "_pi")
+            cur = (
+                cur.join(nxt, "docID")
+                .where(
+                    F.greatest("wmax", "_pi") - F.least("wmin", "_pi") <= F.lit(width)
+                )
+                .select(
+                    "docID",
+                    F.least("wmin", "_pi").alias("wmin"),
+                    F.greatest("wmax", "_pi").alias("wmax"),
+                )
+            )
+        anchors = cur.select("docID", F.col("wmin").alias("p0")).distinct()
+    return (
+        anchors.groupBy("docID")
+        .agg(F.count("*").cast("int").alias("sntf"))
+        .join(cover, "docID")
+    )
+
+
+def span_near_scores(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    boost: float = 1.0,
+    k1: float = K1,
+    b: float = B,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """(docID, score) for every doc matching the span-near window; scored
+    like phrase_scores (pseudo-term: idf summed per query position,
+    tf = proximity frequency sntf)."""
+    m = meta.first()
+    n_docs, avgdl = m["N"], float(m["avgdl"])
+    uniq = sorted(set(terms))
+    dfs = {
+        r["term"]: r["df"]
+        for r in term_stats.where(F.col("term").isin(uniq)).select("term", "df").collect()
+    }
+    if any(t not in dfs for t in terms):
+        return positional.sparkSession.createDataFrame([], "docID long, score double")
+    sum_idf = sum(
+        math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
+    )
+    match = span_near_match(positional, terms, slop=slop, in_order=in_order, prefilter=prefilter)
+    return match.select(
+        "docID",
+        (
+            F.lit(float(boost) * sum_idf)
+            * bm25_score_col(F.col("sntf").cast("double"), F.col("dl"), F.lit(avgdl), k1, b)
+        ).alias("score"),
+    )
+
+
+def span_near_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k (docID, score) for a span-near query; score desc, docID asc."""
+    scored = span_near_scores(positional, term_stats, meta, terms, **kwargs)
+    return scored.orderBy(F.col("score").desc(), F.col("docID").asc()).limit(k)
 
 
 def phrase_topk(

@@ -144,3 +144,121 @@ def test_ngram_contamination(spark):
         for r in ngram_contamination(corpus2, bench, n=13).collect()
     }
     assert got2 == {8: 1}
+
+
+def _brute_span_near(rows, terms, slop, in_order):
+    """Python reference for span_near_match's set semantics."""
+    from itertools import product
+
+    exp = {}
+    for i, text in rows:
+        toks = text.split()
+        pos = {t: [p for p, x in enumerate(toks) if x == t] for t in set(terms)}
+        if any(not pos[t] for t in terms):
+            continue
+        anchors = set()
+        if in_order:
+            q = len(terms)
+            for combo in product(*(pos[t] for t in terms)):
+                if all(combo[j] > combo[j - 1] for j in range(1, q)) and (
+                    combo[-1] - combo[0] - (q - 1) <= slop
+                ):
+                    anchors.add(combo[0])
+        else:
+            q = len(terms)
+            for combo in product(*(pos[t] for t in terms)):
+                if max(combo) - min(combo) - (q - 1) <= slop:
+                    anchors.add(min(combo))
+        if anchors:
+            exp[i] = len(anchors)
+    return exp
+
+
+def test_span_near_hand_cases(positional):
+    from neural_search_spark.query.phrase import span_near_match
+
+    # in-order "a ... c" slop=1: doc1 "a b c a b c" → a@0-c@2 (span 1),
+    # a@3-c@5 (span 1); doc0/2/3/4 lack coverage or order
+    got = {r.docID: r.sntf for r in span_near_match(positional, ["a", "c"], slop=1).collect()}
+    assert got == {1: 2}
+    # slop=0 in-order == exact phrase ("a b": doc0 ptf2, doc1 ptf2, doc2 ptf1)
+    got0 = {r.docID: r.sntf for r in span_near_match(positional, ["a", "b"], slop=0).collect()}
+    assert got0 == {0: 2, 1: 2, 2: 1}
+    # unordered "c a" slop=0: adjacency either direction in doc1 (c@2,a@3)
+    gotu = {
+        r.docID: r.sntf
+        for r in span_near_match(positional, ["c", "a"], slop=0, in_order=False).collect()
+    }
+    assert gotu == {1: 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        span_near_match(positional, ["a", "a"], slop=1, in_order=False)
+    with _pt.raises(ValueError):
+        span_near_match(positional, ["a"], slop=-1)
+
+
+def test_span_near_randomized_vs_python_oracle(spark):
+    from neural_search_spark.query.phrase import span_near_match
+
+    rng = random.Random(13)
+    vocab = list("abcde")
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "docID long, text string")
+    pos = build_positional_postings(df)
+    cases = [
+        (["a", "b"], 0, True),
+        (["a", "b"], 3, True),
+        (["a", "b", "c"], 2, True),
+        (["a", "a", "b"], 4, True),  # repeated term, in-order
+        (["a", "b"], 2, False),
+        (["a", "b", "c"], 3, False),
+    ]
+    for terms, slop, in_order in cases:
+        got = {
+            r.docID: r.sntf
+            for r in span_near_match(pos, terms, slop=slop, in_order=in_order).collect()
+        }
+        assert got == _brute_span_near(rows, terms, slop, in_order), (terms, slop, in_order)
+
+
+def test_span_near_scores_and_topk(docs, positional):
+    from neural_search_spark.query.phrase import span_near_scores, span_near_topk
+
+    tabs = build_index_tables(docs)
+    got = {
+        r.docID: r.score
+        for r in span_near_scores(positional, tabs.term_stats, tabs.meta, ["a", "c"], slop=1).collect()
+    }
+    n, avgdl = 5, (5 + 6 + 3 + 3 + 1) / 5
+    idf = lambda d: math.log(1 + (n - d + 0.5) / (d + 0.5))  # noqa: E731
+    s_idf = idf(4) + idf(2)  # df(a)=4, df(c)=2
+    exp = s_idf * 2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 6 / avgdl))
+    assert set(got) == {1} and got[1] == pytest.approx(exp, abs=1e-12)
+    top = span_near_topk(positional, tabs.term_stats, tabs.meta, ["a", "b"], k=2, slop=0).collect()
+    assert [t.docID for t in top] == [0, 1]
+    # unindexed term → empty
+    assert span_near_scores(positional, tabs.term_stats, tabs.meta, ["a", "zzz"]).count() == 0
+
+
+def test_dsl_span_near_and_sloppy_match_phrase(docs, positional):
+    tabs = build_index_tables(docs)
+    eng = QueryEngine(tables=tabs, docs=docs, positional=positional)
+    # "a c" slop=1 in-order: only doc1 (a@0-c@2, a@3-c@5)
+    r = eng.search({"span_near": {"field": "text", "terms": ["a", "c"], "slop": 1}}, k=5).collect()
+    assert [x.docID for x in r] == [1]
+    # match_phrase with slop routes to the same matcher
+    r2 = eng.search({"match_phrase": {"text": {"query": "a c", "slop": 1}}}, k=5).collect()
+    assert [(x.docID, x.score) for x in r2] == [(x.docID, x.score) for x in r]
+    # unordered finds the reversed pair too
+    r3 = eng.search(
+        {"span_near": {"field": "text", "terms": ["c", "a"], "slop": 0, "in_order": False}}, k=5
+    ).collect()
+    assert [x.docID for x in r3] == [1]
+    # engine without a positional index refuses span_near
+    eng2 = QueryEngine(tables=tabs, docs=docs)
+    with pytest.raises(QueryValidationError):
+        eng2.search({"span_near": {"field": "text", "terms": ["a", "c"], "slop": 1}})
