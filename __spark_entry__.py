@@ -71,6 +71,11 @@ PHRASE_TERMS = ["table", "part"]  # exact-adjacency phrase, ~30 docs at sf0.01
 # unordered pair (~129 docs) — supersets of the exact phrase's match set
 SPAN_TERMS, SPAN_SLOP = ["table", "part"], 2
 SPAN_U_TERMS, SPAN_U_SLOP = ["merge", "sort"], 2
+# SynonymQuery blending: df = max member df, tf = Σ member tf per group
+SYN_GROUPS, SYN_BOOSTS = [["table", "window"], ["merge"]], [1.0, 2.0]
+# more_like_this: doc 0's interesting terms (tf≥2, df≥5, top 5 by tf·idf)
+MLT_LIKE, MLT_MTF, MLT_MDF, MLT_MQT = [0], 2, 5, 5
+COLLAPSE_FIELD = "source"  # 20 distinct sources at any SF
 # decontamination: docs with doc_id % DECON_MOD == 0 act as the "benchmark"
 # set; n=3 grams (production default is 13 — the synthetic fixture's texts
 # are too short/random for 13-gram overlaps)
@@ -1128,6 +1133,68 @@ def _oracle_span_near(terms: list[str], slop: int, in_order: bool, k: int = K) -
     {_sql_rank("scored", "score", "doc_id", k)}"""
 
 
+def _oracle_synonym(groups: list[list[str]], boosts: list[float], k: int = K) -> str:
+    """Blended synonym-group BM25 (mirror of query/synonym.py): per group
+    df = max member df, tf = Σ member tf, one idf per group."""
+    vals = ", ".join(
+        f"('{t}', {gi}, {float(w)!r}::DOUBLE)"
+        for gi, (g, w) in enumerate(zip(groups, boosts))
+        for t in g
+    )
+    return f"""
+    with {SQL_INDEX_CTES},
+    groups as (select * from (values {vals}) as t(term, g, w)),
+    gdf as (select g, max(df) as gdf, max(w) as w
+            from stats join groups using(term) group by g),
+    gtf as (select g, doc_id, sum(tf)::BIGINT as gtf
+            from postings join groups using(term) group by 1, 2),
+    scored as (select t.doc_id,
+                      round(sum(gd.w * ln(1 + (m.n - gd.gdf + 0.5) / (gd.gdf + 0.5))
+                                * t.gtf / (t.gtf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) as score
+               from gtf t join gdf gd using(g) join doclens d using(doc_id)
+               cross join meta m group by t.doc_id)
+    {_sql_rank("scored", "score", "doc_id", k)}"""
+
+
+def _oracle_mlt(like: list[int], mtf: int, mdf: int, mqt: int, k: int = K) -> str:
+    """more_like_this (mirror of query/mlt.py): interesting-term selection
+    (tf·idf, gates, term-asc ties) then an unboosted BM25 OR excluding the
+    example docs."""
+    ids = ", ".join(str(int(d)) for d in like)
+    return f"""
+    with {SQL_INDEX_CTES},
+    src as (select term, sum(tf)::BIGINT as stf from postings
+            where doc_id in ({ids}) group by term having sum(tf) >= {mtf}),
+    sel as (select s.term
+            from src s join stats st using(term) cross join meta m
+            where st.df >= {mdf}
+            order by s.stf * ln(1 + (m.n - st.df + 0.5) / (st.df + 0.5)) desc, s.term asc
+            limit {mqt}),
+    scored as (select p.doc_id,
+                      round(sum(ln(1 + (m.n - st.df + 0.5) / (st.df + 0.5))
+                                * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))), 6) as score
+               from postings p join sel using(term) join stats st using(term)
+               join doclens d using(doc_id) cross join meta m
+               where p.doc_id not in ({ids}) group by 1)
+    {_sql_rank("scored", "score", "doc_id", k)}"""
+
+
+def _oracle_collapse(tokens: dict[str, float], field: str, k: int = K) -> str:
+    """Field collapsing (mirror of query/collapse.py): best hit per field
+    value, groups ranked by their winner."""
+    return f"""
+    with {SQL_INDEX_CTES}, {_sql_bm25_scored(tokens)},
+    joined as (select s.doc_id, s.score, d.{field}
+               from scored s join documents d using(doc_id)),
+    win as (select *, row_number() over (partition by {field}
+                                         order by score desc, doc_id asc) as grn
+            from joined),
+    winners as (select doc_id, score, {field} from win where grn = 1)
+    select row_number() over (order by score desc, doc_id asc)::BIGINT as rank,
+           doc_id, score, {field}
+    from winners order by score desc, doc_id asc limit {k}"""
+
+
 def _oracle_bm25(tokens: dict[str, float], k: int = K) -> str:
     return f"with {SQL_INDEX_CTES}, {_sql_bm25_scored(tokens)} " + _sql_rank(
         "scored", "score", "doc_id", k
@@ -1711,6 +1778,50 @@ def q_span_unordered_top10(spark, sf_dir):
     return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
+def q_synonym_top10(spark, sf_dir):
+    """Blended synonym-group BM25 (SynonymQuery semantics: df = max member
+    df, tf = Σ member tf within a group)."""
+    from neural_search_spark.query.synonym import synonym_score_all
+
+    idx = _index(spark, sf_dir)
+    scored = synonym_score_all(
+        idx.postings, idx.doclens, idx.term_stats, idx.meta, SYN_GROUPS, boosts=SYN_BOOSTS
+    )
+    return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_mlt_top10(spark, sf_dir):
+    """more_like_this: doc MLT_LIKE's interesting terms (tf·idf gated by
+    min_term_freq/min_doc_freq, top max_query_terms) run as a BM25 OR,
+    example doc excluded."""
+    from neural_search_spark.query.mlt import mlt_score_all
+
+    idx = _index(spark, sf_dir)
+    scored = mlt_score_all(
+        idx.postings, idx.doclens, idx.term_stats, idx.meta, MLT_LIKE,
+        max_query_terms=MLT_MQT, min_term_freq=MLT_MTF, min_doc_freq=MLT_MDF,
+    )
+    return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_collapse_top10(spark, sf_dir):
+    """Field collapsing: Q_BM25 scores, one best hit per COLLAPSE_FIELD
+    value, top-10 group winners (CollapsingTopDocsCollector analog)."""
+    from neural_search_spark.query.collapse import collapse_topk
+
+    idx = _index(spark, sf_dir)
+    scored = bm25.bm25_score_all(
+        idx.postings, idx.doclens, idx.term_stats, idx.meta, Q_BM25
+    ).withColumn("score", F.round("score", 6))
+    out = collapse_topk(scored, _docs(spark, sf_dir), COLLAPSE_FIELD, k=K, id_col="doc_id")
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        "score",
+        COLLAPSE_FIELD,
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing ≥1 token n-gram with
     the held-out 'benchmark' subset (doc_id % DECON_MOD == 0)."""
@@ -1737,6 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_top10": q_phrase_top10,
         "span_near_top10": q_span_near_top10,
         "span_unordered_top10": q_span_unordered_top10,
+        "synonym_top10": q_synonym_top10,
+        "mlt_top10": q_mlt_top10,
+        "collapse_top10": q_collapse_top10,
         "decontaminate": q_decontaminate,
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
@@ -1829,6 +1943,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_top10": _oracle_phrase(PHRASE_TERMS, K),
         "span_near_top10": _oracle_span_near(SPAN_TERMS, SPAN_SLOP, True, K),
         "span_unordered_top10": _oracle_span_near(SPAN_U_TERMS, SPAN_U_SLOP, False, K),
+        "synonym_top10": _oracle_synonym(SYN_GROUPS, SYN_BOOSTS, K),
+        "mlt_top10": _oracle_mlt(MLT_LIKE, MLT_MTF, MLT_MDF, MLT_MQT, K),
+        "collapse_top10": _oracle_collapse(Q_BM25, COLLAPSE_FIELD, K),
         "decontaminate": f"""
     with {SQL_SHINGLES},
     bench as (select distinct shingle from shingles where id % {DECON_MOD} = 0)

@@ -12,6 +12,11 @@ Supported query dicts::
     {"span_near":    {"field": FIELD, "terms": [t, ...], "slop": 0,
                       "in_order": True, "boost": 1.0}}  # SpanNearQuery
     {"term":         {FIELD: {"value": "token", "boost": 1.0}}}
+    {"synonym":      {"field": FIELD, "groups": [[t, ...], ...],
+                      "boosts": [w, ...], "boost": 1.0}}  # SynonymQuery
+    {"more_like_this": {"field": FIELD, "like": [docID, ...],
+                      "max_query_terms": 25, "min_term_freq": 2,
+                      "min_doc_freq": 5, "include": False}}
     {"prefix":       {FIELD: {"value": "pre", "boost": 1.0,
                               "rewrite": "constant_score" | "scoring_boolean"}}}
     {"wildcard":     {FIELD: {"value": "pa*er?", "boost": 1.0, "rewrite": ...}}}
@@ -267,6 +272,39 @@ class QueryEngine:
                 terms,
                 slop=int(body.get("slop", 0)),
                 in_order=bool(body.get("in_order", True)),
+                boost=float(body.get("boost", 1.0)),
+                prefilter=prefilter,
+            )
+
+        if kind == "synonym":
+            # Lucene SynonymQuery: each group scores as ONE pseudo-term with
+            # blended stats (df = max member df, tf = Σ member tf).
+            # {"synonym": {"field": f, "groups": [[t, ...], ...],
+            #              "boosts": [w, ...], "boost": 1.0}}
+            from neural_search_spark.query.synonym import synonym_score_all
+
+            groups = [[str(t) for t in g] for g in body["groups"]]
+            outer = float(body.get("boost", 1.0))
+            boosts = [float(w) * outer for w in body.get("boosts", [1.0] * len(groups))]
+            return synonym_score_all(
+                self.tables.postings, self.tables.doclens, self.tables.term_stats,
+                self.tables.meta, groups, boosts=boosts, prefilter=prefilter,
+            )
+
+        if kind == "more_like_this":
+            # {"more_like_this": {"field": f, "like": [docID, ...],
+            #   "max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5,
+            #   "max_doc_freq": N, "include": false, "boost": 1.0}}
+            from neural_search_spark.query.mlt import mlt_score_all
+
+            return mlt_score_all(
+                self.tables.postings, self.tables.doclens, self.tables.term_stats,
+                self.tables.meta, [int(d) for d in body["like"]],
+                max_query_terms=int(body.get("max_query_terms", 25)),
+                min_term_freq=int(body.get("min_term_freq", 2)),
+                min_doc_freq=int(body.get("min_doc_freq", 5)),
+                max_doc_freq=body.get("max_doc_freq"),
+                include=bool(body.get("include", False)),
                 boost=float(body.get("boost", 1.0)),
                 prefilter=prefilter,
             )
@@ -604,6 +642,8 @@ class QueryEngine:
         sort: list[tuple[str, str]] | None = None,
         search_after: list | None = None,
         from_: int = 0,
+        collapse: str | None = None,
+        inner_hits: int = 1,
     ) -> DataFrame:
         """Execute a DSL query → (rank, docID, score).
 
@@ -624,7 +664,11 @@ class QueryEngine:
         `from_` is the offset analog; the reference REJECTS nonzero from
         for hybrid queries (HybridQueryPhaseSearcher.java:51-73) and so do
         we; for non-hybrid queries the first `from_` ranked hits are
-        skipped (ranks renumber from 1, as a paging client expects)."""
+        skipped (ranks renumber from 1, as a paging client expects).
+
+        `collapse` names a docs column: one best hit per distinct value
+        (CollapsingTopDocsCollector), `inner_hits` top hits kept per group;
+        incompatible with sort/search_after/from_, like OpenSearch."""
         (kind,) = query.keys()
         if from_ < 0:
             raise QueryValidationError("from_ must be >= 0")
@@ -658,6 +702,23 @@ class QueryEngine:
                 F.col(self.id_col).alias("docID")
             )
             scored = scored.join(keep, "docID", "left_semi")
+
+        if collapse is not None:
+            if sort or search_after or from_:
+                raise QueryValidationError(
+                    "collapse is incompatible with sort/search_after/from_"
+                )
+            if collapse not in self.docs.columns:
+                raise QueryValidationError(
+                    f"unknown collapse field {collapse!r}; available: "
+                    f"{sorted(self.docs.columns)}"
+                )
+            from neural_search_spark.query.collapse import collapse_topk
+
+            return collapse_topk(
+                scored, self.docs, collapse, k=k, inner_hits=inner_hits,
+                id_col=self.id_col,
+            )
 
         if sort:
             # sort-criteria validation (FieldSortBuilder parse-time analog):
