@@ -76,6 +76,7 @@ SYN_GROUPS, SYN_BOOSTS = [["table", "window"], ["merge"]], [1.0, 2.0]
 # more_like_this: doc 0's interesting terms (tf≥2, df≥5, top 5 by tf·idf)
 MLT_LIKE, MLT_MTF, MLT_MDF, MLT_MQT = [0], 2, 5, 5
 COLLAPSE_FIELD = "source"  # 20 distinct sources at any SF
+HL_FRAG, HL_LEAD = 10, 2  # highlight window tokens / context lead
 # decontamination: docs with doc_id % DECON_MOD == 0 act as the "benchmark"
 # set; n=3 grams (production default is 13 — the synthetic fixture's texts
 # are too short/random for 13-gram overlaps)
@@ -1822,6 +1823,18 @@ def q_collapse_top10(spark, sf_dir):
     )
 
 
+def q_highlight(spark, sf_dir):
+    """Best-window fragment highlighting for Q_BM25's terms: the token
+    window with the most hits, matched tokens wrapped in <em> tags."""
+    from neural_search_spark.ops.highlight import highlight
+
+    out = highlight(
+        _docs(spark, sf_dir), sorted(Q_BM25), id_col="doc_id",
+        frag_size=HL_FRAG, lead=HL_LEAD,
+    )
+    return out.select(F.col("id").alias("doc_id"), F.col("n_hits").cast("long"), "fragment")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing ≥1 token n-gram with
     the held-out 'benchmark' subset (doc_id % DECON_MOD == 0)."""
@@ -1851,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_top10": q_synonym_top10,
         "mlt_top10": q_mlt_top10,
         "collapse_top10": q_collapse_top10,
+        "highlight": q_highlight,
         "decontaminate": q_decontaminate,
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
@@ -1946,6 +1960,26 @@ def oracle_sql() -> dict[str, str]:
         "synonym_top10": _oracle_synonym(SYN_GROUPS, SYN_BOOSTS, K),
         "mlt_top10": _oracle_mlt(MLT_LIKE, MLT_MTF, MLT_MDF, MLT_MQT, K),
         "collapse_top10": _oracle_collapse(Q_BM25, COLLAPSE_FIELD, K),
+        "highlight": f"""
+    with tokarr as ({SQL_TOKARR}),
+    hitdocs as (select doc_id, toks,
+                       [i for i in range(len(toks))
+                        if list_contains(['join','spark','window'], toks[i+1])] as hits
+                from tokarr),
+    m as (select doc_id, toks, hits, len(hits)::BIGINT as n_hits,
+                 list_transform(hits, h -> len(list_filter(hits,
+                     q -> q >= h and q < h + {HL_FRAG}))) as counts
+          from hitdocs where len(hits) > 0),
+    b as (select doc_id, toks, n_hits,
+                 hits[list_position(counts, list_max(counts))] as best_h
+          from m),
+    s as (select doc_id, toks, n_hits,
+                 greatest(best_h - {HL_LEAD}, 0) as start from b)
+    select doc_id, n_hits,
+           array_to_string(list_transform(toks[start+1 : start+{HL_FRAG}],
+             t -> case when list_contains(['join','spark','window'], t)
+                  then '<em>'||t||'</em>' else t end), ' ') as fragment
+    from s""",
         "decontaminate": f"""
     with {SQL_SHINGLES},
     bench as (select distinct shingle from shingles where id % {DECON_MOD} = 0)
