@@ -77,6 +77,7 @@ SYN_GROUPS, SYN_BOOSTS = [["table", "window"], ["merge"]], [1.0, 2.0]
 MLT_LIKE, MLT_MTF, MLT_MDF, MLT_MQT = [0], 2, 5, 5
 COLLAPSE_FIELD = "source"  # 20 distinct sources at any SF
 HL_FRAG, HL_LEAD = 10, 2  # highlight window tokens / context lead
+DELETE_MOD = 13  # tombstoned docs: doc_id % DELETE_MOD == 0
 # decontamination: docs with doc_id % DECON_MOD == 0 act as the "benchmark"
 # set; n=3 grams (production default is 13 — the synthetic fixture's texts
 # are too short/random for 13-gram overlaps)
@@ -1823,6 +1824,21 @@ def q_collapse_top10(spark, sf_dir):
     )
 
 
+def q_bm25_deleted_top10(spark, sf_dir):
+    """Tombstone-delete semantics (Lucene liveDocs / IndexStore.delete_docs):
+    docs with doc_id % DELETE_MOD == 0 are deleted — excluded from results
+    via anti-join while df/avgdl stay whole-index (stats change only at
+    compact)."""
+    idx = _index(spark, sf_dir)
+    tombs = _docs(spark, sf_dir).where(
+        F.col("doc_id") % DELETE_MOD == 0
+    ).select(F.col("doc_id").alias("docID"))
+    scored = bm25.bm25_score_all(
+        idx.postings, idx.doclens, idx.term_stats, idx.meta, Q_BM25, exclude=tombs
+    )
+    return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
 def q_highlight(spark, sf_dir):
     """Best-window fragment highlighting for Q_BM25's terms: the token
     window with the most hits, matched tokens wrapped in <em> tags."""
@@ -1865,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_top10": q_mlt_top10,
         "collapse_top10": q_collapse_top10,
         "highlight": q_highlight,
+        "bm25_deleted_top10": q_bm25_deleted_top10,
         "decontaminate": q_decontaminate,
         "bm25_top10": q_bm25_top10,
         "bm25_weighted_top10": q_bm25_weighted_top10,
@@ -1960,6 +1977,10 @@ def oracle_sql() -> dict[str, str]:
         "synonym_top10": _oracle_synonym(SYN_GROUPS, SYN_BOOSTS, K),
         "mlt_top10": _oracle_mlt(MLT_LIKE, MLT_MTF, MLT_MDF, MLT_MQT, K),
         "collapse_top10": _oracle_collapse(Q_BM25, COLLAPSE_FIELD, K),
+        "bm25_deleted_top10": f"""
+    with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},
+    live as (select * from scored where doc_id % {DELETE_MOD} <> 0)
+    {_sql_rank("live", "score", "doc_id", K)}""",
         "highlight": f"""
     with tokarr as ({SQL_TOKARR}),
     hitdocs as (select doc_id, toks,

@@ -126,6 +126,104 @@ class IndexStore:
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "segments"))
 
+    # --- deletes: Lucene liveDocs semantics -------------------------------
+    # deleted docs are tombstoned, excluded from results immediately, but
+    # df/avgdl stay computed over the whole index until compact() — exactly
+    # Lucene's deleted-but-unmerged behavior (docFreq ignores deletes until
+    # segments merge). update = delete + streaming append (streaming/
+    # ingest.py adds per-batch segment runs with fresh docIDs).
+
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """(docID) frame of deleted docs, or None when nothing is deleted."""
+        p = self._tombstone_path
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p).select("docID").distinct()
+
+    def delete_docs(self, doc_ids) -> int:
+        """Tombstone docs by id list or (docID) DataFrame; idempotent
+        (re-deleting is a no-op at read time — tombstones dedupe on scan).
+        Returns the number of live docs actually deleted by this call."""
+        if isinstance(doc_ids, DataFrame):
+            ids = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("docID"))
+        else:
+            ids = self.spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "docID long"
+            )
+        # count only genuinely-live deletions (bounded: one aggregate job)
+        prev = self.tombstones
+        new = ids.distinct()
+        if prev is not None:
+            new = new.join(prev, "docID", "left_anti")
+        n_new = new.count()
+        if n_new:
+            new.coalesce(1).write.mode("append").parquet(self._tombstone_path)
+        return n_new
+
+    def compact(self) -> dict:
+        """Physically remove tombstoned docs: rewrite postings/doclens/
+        term_stats/segments/docs without them, refresh meta (N, avgdl) —
+        the Lucene forceMerge/expungeDeletes analog. Stats change here and
+        only here. Clears stage manifests (the store's content no longer
+        corresponds to any build-stage fingerprint chain) and tombstones.
+
+        Swap protocol: each stage writes to `<stage>__compact` then renames
+        over the old dir — safe on a real cluster too when `path` is a
+        filesystem with atomic dir rename (HDFS); on S3-style stores use a
+        manifest pointer instead (documented, not needed for this store)."""
+        import shutil
+
+        tombs = self.tombstones
+        if tombs is None:
+            return {"deleted": 0, "N": self.meta["N"], "avgdl": self.meta["avgdl"]}
+        tombs = tombs.persist()
+        n_del = tombs.count()
+
+        def swap(stage: str, df: DataFrame, shard: bool = False):
+            tmp = os.path.join(self.path, f"{stage}__compact")
+            if shard:
+                (
+                    df.repartition("shard")
+                    .sortWithinPartitions("term", "salt", "blockID")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(tmp)
+                )
+            else:
+                df.write.mode("overwrite").parquet(tmp)
+            old = os.path.join(self.path, stage)
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(tmp, old)
+
+        live_postings = self.postings.join(tombs, "docID", "left_anti")
+        swap("postings", live_postings)
+        postings = self.postings  # re-scan the rewritten parquet
+        swap("doclens", self.doclens.join(tombs, "docID", "left_anti"))
+        swap("term_stats", build_term_stats(postings))
+        swap("docs", self.docs.join(tombs, "docID", "left_anti"))
+        doclens = self.doclens
+        m = doclens.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).first()
+        n_docs, avgdl = int(m["N"]), float(m["avgdl"] or 0.0)
+        pdl = postings if "dl" in postings.columns else postings.join(doclens, "docID")
+        segs = build_segments(
+            pdl, avgdl=avgdl, max_doc_id=max(n_docs - 1, 0), term_stats=self.term_stats
+        ).withColumn("shard", shard_col(F.col("term")))
+        swap("segments", segs, shard=True)
+        self.meta.update({"N": n_docs, "avgdl": avgdl})
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f, indent=2, sort_keys=True)
+        shutil.rmtree(self._tombstone_path, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "_manifests"), ignore_errors=True)
+        tombs.unpersist()
+        return {"deleted": n_del, "N": n_docs, "avgdl": avgdl}
+
     def topk(self, terms, k: int = 10, prune: bool = True, strategy: str = "auto") -> DataFrame:
         """Top-k BM25 over the store.
 
@@ -142,6 +240,24 @@ class IndexStore:
 
         if strategy not in ("auto", "segments", "relational"):
             raise ValueError(f"unknown strategy: {strategy}")
+        tombs = self.tombstones
+        if tombs is not None:
+            # tombstones present: the segment path's θ seed would be
+            # computed from decoded candidates that may be deleted, and a
+            # θ inflated by a deleted doc can prune blocks holding LIVE
+            # top-k docs — route to the relational path with an anti-join
+            # on the matched postings (stats stay whole-index, Lucene
+            # liveDocs semantics) until compact() clears the tombstones
+            from neural_search_spark.query.bm25 import bm25_score_all, topk as _topk
+
+            meta = self.spark.createDataFrame(
+                [(self.meta["N"], self.meta["avgdl"])], "N long, avgdl double"
+            )
+            scored = bm25_score_all(
+                self.postings, self.doclens, self.term_stats, meta, terms,
+                exclude=tombs,
+            )
+            return _topk(scored, k)
         if strategy == "auto":
             q_terms = sorted(set(terms))
             dfs = {

@@ -70,6 +70,7 @@ def bm25_score_all(
     lucene_norms: bool = False,
     min_should_match: int = 0,
     clause_counts: dict[str, int] | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """All matching docs with exact BM25 scores: (docID, score).
 
@@ -77,6 +78,12 @@ def bm25_score_all(
     *before* scoring via left-semi join, but collection statistics stay
     global — matching the reference, where FILTER clauses restrict matches
     but BM25 stats come from the whole index (query/HybridQuery.java:43-60).
+
+    `exclude` is the tombstone analog of Lucene's liveDocs: a (docID) frame
+    whose docs are dropped from the CANDIDATES via anti-join while df/avgdl
+    stay computed over the whole index — exactly Lucene's semantics for
+    deleted-but-unmerged docs (docFreq ignores deletes until segments
+    merge; see IndexStore.delete_docs / compact).
 
     `min_should_match` > 1 keeps only docs matching at least that many
     SHOULD clauses (Lucene BooleanQuery minimumNumberShouldMatch); a
@@ -115,6 +122,8 @@ def bm25_score_all(
     )
     if prefilter is not None:
         cand = cand.join(prefilter.select("docID"), "docID", "left_semi")
+    if exclude is not None:
+        cand = cand.join(exclude.select("docID"), "docID", "left_anti")
     if "dl" not in cand.columns:
         # legacy (term, docID, tf) postings: fetch dl with a shuffle join;
         # build_postings now carries dl inline so the matched-postings

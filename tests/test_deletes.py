@@ -1,0 +1,82 @@
+"""Tombstone deletes + compaction (index/store.py, Lucene liveDocs
+semantics: deletes exclude docs from results immediately, stats stay
+whole-index until compact)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from neural_search_spark.data import synthesize_transcripts
+from neural_search_spark.index.store import IndexStore, build_index
+
+QUERY = ["the", "data", "spark"]
+
+
+def _build(spark, path, n_convs=12):
+    tr = synthesize_transcripts(spark, n_convs=n_convs, turns_per_conv=6, seed=5)
+    build_index(spark, tr, path, source_fingerprint=f"synth:{n_convs}x6:5",
+                postings_per_salt=50)
+    return IndexStore(spark, path)
+
+
+def test_delete_excludes_but_keeps_stats(spark, tmp_path):
+    store = _build(spark, str(tmp_path / "idx"))
+    full = {r["docID"]: r["score"] for r in store.topk(QUERY, k=1000).collect()}
+    victims = sorted(full)[:3]
+    assert store.delete_docs(victims) == 3
+    live = {r["docID"]: r["score"] for r in store.topk(QUERY, k=1000).collect()}
+    # deleted docs gone; every survivor's score UNCHANGED (df/avgdl still
+    # count the deleted docs — Lucene docFreq-ignores-deletes semantics)
+    assert set(live) == set(full) - set(victims)
+    for d, s in live.items():
+        assert s == full[d]
+    # idempotent: re-deleting is a no-op
+    assert store.delete_docs(victims) == 0
+    # DataFrame input form
+    more = spark.createDataFrame([(sorted(full)[3],)], "docID long")
+    assert store.delete_docs(more) == 1
+
+
+def test_compact_refreshes_stats_and_clears_tombstones(spark, tmp_path):
+    store = _build(spark, str(tmp_path / "idx"))
+    n0 = store.meta["N"]
+    full = {r["docID"] for r in store.topk(QUERY, k=1000).collect()}
+    victims = sorted(full)[:4]
+    store.delete_docs(victims)
+    res = store.compact()
+    assert res["deleted"] == 4 and res["N"] == n0 - 4
+    assert store.tombstones is None
+    assert not os.path.isdir(os.path.join(store.path, "_manifests"))
+    # meta.json rewritten
+    with open(os.path.join(store.path, "meta.json")) as f:
+        assert json.load(f)["N"] == n0 - 4
+    # compacted store equals a FRESH build over the filtered corpus:
+    # same postings content and same topk (scores now use the new stats)
+    tr = synthesize_transcripts(spark, n_convs=12, turns_per_conv=6, seed=5)
+    from neural_search_spark.data import assign_doc_ids
+
+    fresh_dir = str(tmp_path / "fresh")
+    fresh_docs = assign_doc_ids(tr)
+    keep = fresh_docs.where(~fresh_docs.docID.isin([int(v) for v in victims]))
+    # rebuild via the staged pipeline on the kept docs (docIDs preserved by
+    # writing postings straight from the filtered docs frame)
+    from neural_search_spark.index.build import build_postings
+
+    exp_postings = sorted(
+        (r["term"], r["docID"], r["tf"]) for r in build_postings(keep).collect()
+    )
+    got_postings = sorted(
+        (r["term"], r["docID"], r["tf"])
+        for r in store.postings.select("term", "docID", "tf").collect()
+    )
+    assert got_postings == exp_postings
+    # both physical paths run and agree on the compacted store
+    rel = [(r["docID"], r["score"]) for r in store.topk(QUERY, k=5, strategy="relational").collect()]
+    seg = [(r["docID"], r["score"]) for r in store.topk(QUERY, k=5, strategy="segments").collect()]
+    assert [d for d, _ in rel] == [d for d, _ in seg]
+    for (_, a), (_, b) in zip(rel, seg):
+        assert abs(a - b) < 1e-9
+    # compacting with nothing deleted is a no-op
+    res2 = store.compact()
+    assert res2["deleted"] == 0 and res2["N"] == n0 - 4
