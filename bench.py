@@ -88,6 +88,10 @@ QNAMES = [
     "hybrid_batch_top5",
     "two_phase_sparse_top10",
     "phrase_top10",
+    "span_near_top10",
+    "synonym_top10",
+    "mlt_top10",
+    "collapse_top10",
     "fuzzy_top10",
     "hybrid_minmax_arithmetic",
     "hybrid_neural_match",
