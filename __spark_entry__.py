@@ -910,6 +910,38 @@ def q_query_with_aggs(spark, sf_dir):
     return aggs["by_lang"]
 
 
+def q_query_percentiles_agg(spark, sf_dir):
+    """Exact continuous percentiles agg over the match set (OpenSearch uses
+    t-digest approximation — documented divergence; this is quantile_cont
+    semantics, checkable against the oracle)."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"pct": {"percentiles": {"field": "n_chars", "percents": [25, 50, 95]}}},
+        k=K,
+    )
+    return aggs["pct"].select("percent", F.round("value", 6).alias("value"))
+
+
+def q_query_stats_agg(spark, sf_dir):
+    """stats + exact-cardinality aggs over the match set in one row."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"st": {"stats": {"field": "n_chars"}},
+         "card": {"cardinality": {"field": "source"}}},
+        k=K,
+    )
+    st = aggs["st"].select(
+        "count",
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        F.round("avg", 6).alias("avg"),
+        F.col("sum").cast("long").alias("sum"),
+    )
+    return st.crossJoin(aggs["card"].select(F.col("value").alias("n_sources")))
+
+
 def q_hybrid_with_aggs(spark, sf_dir):
     """Aggregations composed with a HYBRID query — the
     HybridAggregationProcessor case (search/query/HybridAggregationProcessor
@@ -1934,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_top10": q_ivf_cosine_top10,
         "total_hits_relation": q_total_hits_relation,
         "query_with_aggs": q_query_with_aggs,
+        "query_percentiles_agg": q_query_percentiles_agg,
+        "query_stats_agg": q_query_stats_agg,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
@@ -2265,6 +2299,27 @@ def oracle_sql() -> dict[str, str]:
   select 'high',
          case when n > 100000 then 100000 else n end::BIGINT,
          case when n > 100000 then 'gte' else 'eq' end from n""",
+        "query_percentiles_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('join', 'spark', 'window')
+  ),
+  vals as (select d.n_chars from documents d join matching using(doc_id))
+  select unnest([25.0, 50.0, 95.0]) as percent,
+         unnest([round(quantile_cont(n_chars, 0.25), 6),
+                 round(quantile_cont(n_chars, 0.50), 6),
+                 round(quantile_cont(n_chars, 0.95), 6)]) as value
+  from vals""",
+        "query_stats_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('join', 'spark', 'window')
+  )
+  select count(d.n_chars)::BIGINT as count, min(d.n_chars)::BIGINT as min,
+         max(d.n_chars)::BIGINT as max, round(avg(d.n_chars), 6) as avg,
+         sum(d.n_chars)::BIGINT as sum,
+         count(distinct d.source)::BIGINT as n_sources
+  from documents d join matching using(doc_id)""",
         "query_with_aggs": f"""
   with {SQL_INDEX_CTES},
   matching as (

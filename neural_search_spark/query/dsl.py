@@ -949,6 +949,47 @@ class QueryEngine:
                 out[name] = row.selectExpr(
                     f"stack({len(keys)}, {stack}) as (key, doc_count)"
                 )
+            elif akind == "cardinality":
+                # OpenSearch's cardinality is HLL-approximate; we return the
+                # EXACT distinct count by default (documented divergence —
+                # exactness is checkable against the oracle) and expose the
+                # approximate variant via precision_threshold=0 → Spark's
+                # HLL++ (approx_count_distinct), the true OpenSearch analog
+                if int(body.get("precision_threshold", -1)) == 0:
+                    out[name] = match_docs.agg(
+                        F.approx_count_distinct(field).cast("long").alias("value")
+                    )
+                else:
+                    out[name] = match_docs.agg(
+                        F.count_distinct(field).cast("long").alias("value")
+                    )
+            elif akind == "percentiles":
+                # exact continuous percentiles (linear interpolation — the
+                # same definition as DuckDB quantile_cont); OpenSearch uses
+                # t-digest approximation (documented divergence). percents
+                # default mirrors OpenSearch: 1, 5, 25, 50, 75, 95, 99.
+                percents = [float(p) for p in body.get("percents", [1, 5, 25, 50, 75, 95, 99])]
+                if not percents or any(p < 0 or p > 100 for p in percents):
+                    raise QueryValidationError("percents must be within [0, 100]")
+                row = match_docs.agg(
+                    *[
+                        F.percentile(F.col(field), F.lit(p / 100.0)).alias(f"_p{i}")
+                        for i, p in enumerate(percents)
+                    ]
+                )
+                stack = ", ".join(f"{p!r}D, _p{i}" for i, p in enumerate(percents))
+                out[name] = row.selectExpr(
+                    f"stack({len(percents)}, {stack}) as (percent, value)"
+                )
+            elif akind == "stats":
+                # the OpenSearch stats agg: count/min/max/avg/sum in one pass
+                out[name] = match_docs.agg(
+                    F.count(field).cast("long").alias("count"),
+                    F.min(field).alias("min"),
+                    F.max(field).alias("max"),
+                    F.avg(field).alias("avg"),
+                    F.sum(field).alias("sum"),
+                )
             else:
                 raise QueryValidationError(f"unknown aggregation kind: {akind}")
         hits = self.search(query, k=k, post_filter=post_filter)

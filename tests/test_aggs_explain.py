@@ -89,3 +89,52 @@ def test_explain_rejects_non_lexical(engine):
 
     with pytest.raises(QueryValidationError):
         engine.explain({"match_all": {}}, 0)
+
+
+def test_cardinality_percentiles_stats_aggs(engine, transcripts):
+    matched = _match_rows(transcripts)
+    dls = sorted(len(tokenize_py(r["text"])) for r in matched)
+
+    def q_cont(p):
+        # linear-interpolation percentile (Spark percentile / duckdb
+        # quantile_cont definition)
+        x = (len(dls) - 1) * p
+        lo, hi = int(x), min(int(x) + 1, len(dls) - 1)
+        return dls[lo] + (x - int(x)) * (dls[hi] - dls[lo])
+
+    # aggregate over a derived dl column: reuse docs with a token-count col
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.analysis.tokenizer import tokenize_col
+    from neural_search_spark.query.dsl import QueryEngine
+
+    docs2 = transcripts.withColumn("_dl", F.size(tokenize_col("text")))
+
+    eng2 = QueryEngine(tables=engine.tables, docs=docs2)
+    _, aggs = eng2.search_with_aggs(
+        Q,
+        {
+            "card": {"cardinality": {"field": "turn_idx"}},
+            "pct": {"percentiles": {"field": "_dl", "percents": [25, 50, 95]}},
+            "st": {"stats": {"field": "_dl"}},
+        },
+    )
+    card = aggs["card"].first()["value"]
+    assert card == len({r["turn_idx"] for r in matched})
+    got = {r["percent"]: r["value"] for r in aggs["pct"].collect()}
+    for p in (25, 50, 95):
+        assert got[float(p)] == pytest.approx(q_cont(p / 100), abs=1e-9)
+    st = aggs["st"].first()
+    assert st["count"] == len(dls) and st["min"] == dls[0] and st["max"] == dls[-1]
+    assert st["sum"] == sum(dls)
+    assert st["avg"] == pytest.approx(sum(dls) / len(dls))
+    # approximate variant runs (value sane, not asserted exact)
+    _, a2 = eng2.search_with_aggs(
+        Q, {"c": {"cardinality": {"field": "turn_idx", "precision_threshold": 0}}}
+    )
+    assert a2["c"].first()["value"] > 0
+    # bad percents rejected
+    with pytest.raises(Exception):
+        eng2.search_with_aggs(Q, {"p": {"percentiles": {"field": "_dl", "percents": [101]}}})[1][
+            "p"
+        ].collect()
