@@ -90,6 +90,13 @@ DECON_N, DECON_MOD = 3, 97
 SQL_TOKARR = "select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as toks from documents"
 SQL_TOKS = "select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as term from documents"
 
+# analyzer-chain oracle expression (stop + minimal plural stem) — built by
+# the SAME generator the engine tests parity against (duckdb_analyze)
+from neural_search_spark.analysis.tokenizer import ENGLISH_STOPWORDS as _SW  # noqa: E402
+from neural_search_spark.analysis.tokenizer import duckdb_analyze as _dda  # noqa: E402
+
+_duckdb_analyze_expr = _dda("text", stopwords=_SW, stem=True)
+
 
 def _sql_hash60(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
@@ -216,6 +223,23 @@ def q_token_term_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (
         docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def q_analyzed_term_counts(spark, sf_dir):
+    """Analyzer-chain term counts: standard tokenizer → English stopword
+    filter → minimal plural stemmer (analysis/tokenizer.py analyze_col)."""
+    from neural_search_spark.analysis.tokenizer import ENGLISH_STOPWORDS, analyze_col
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(
+                analyze_col("text", stopwords=ENGLISH_STOPWORDS, stem=True)
+            ).alias("term")
+        )
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -1902,6 +1926,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_term_counts": q_token_term_counts,
+        "analyzed_term_counts": q_analyzed_term_counts,
         "term_doc_freq": q_term_doc_freq,
         "doclens": q_doclens,
         "collection_meta": q_collection_meta,
@@ -1998,6 +2023,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "token_term_counts": f"select term, count(*)::BIGINT as cnt from ({SQL_TOKS}) group by term",
+        "analyzed_term_counts": (
+            "select term, count(*)::BIGINT as cnt from (select unnest("
+            + _duckdb_analyze_expr
+            + ") as term from documents) group by term"
+        ),
         "term_doc_freq": f"with {SQL_INDEX_CTES} select term, df from stats",
         "doclens": f"with {SQL_INDEX_CTES} select doc_id, dl from doclens",
         "collection_meta": f"with {SQL_INDEX_CTES} select n, round(avgdl, 6) as avgdl from meta",

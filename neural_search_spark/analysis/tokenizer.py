@@ -81,6 +81,93 @@ def tokenize_py(text: str, tokenizer: str = "standard") -> list[str]:
     return re.findall(pattern, text.lower() if lower else text)
 
 
+# ---------------------------------------------------------------------------
+# analyzer chain: tokenizer + token filters (stopwords, minimal stemming)
+# ---------------------------------------------------------------------------
+
+# Lucene EnglishAnalyzer's default stop set (public, stable since 2.x).
+ENGLISH_STOPWORDS = (
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with"
+).split()
+
+# Minimal plural stemming rule — the EnglishMinimalStemFilter idea
+# (strip a trailing plural 's' with guards), re-derived, NOT a port:
+#   len(token) >= 4 AND token ends in 's' AND NOT in 'ss'/'us'/'is' → drop
+# the final 's'. Deterministic, reproducible in SQL; full Porter/KStem
+# morphology is an explicit non-goal (dictionary-bound).
+_STEM_GUARD = ("ss", "us", "is")
+
+
+def _stem_light_py(tok: str) -> str:
+    if len(tok) >= 4 and tok.endswith("s") and not tok.endswith(_STEM_GUARD):
+        return tok[:-1]
+    return tok
+
+
+def analyze_col(
+    col: Column | str,
+    tokenizer: str = "standard",
+    stopwords: list[str] | None = None,
+    stem: bool = False,
+) -> Column:
+    """Analyzer chain: tokenize → [stop filter] → [minimal plural stem].
+    All JVM-side higher-order functions (codegen'd, no Python)."""
+    toks = tokenize_col(col, tokenizer)
+    if stopwords:
+        sw = F.array(*[F.lit(s) for s in sorted(set(stopwords))])
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    if stem:
+        toks = F.transform(
+            toks,
+            lambda t: F.when(
+                (F.length(t) >= 4)
+                & t.endswith("s")
+                & ~t.endswith("ss")
+                & ~t.endswith("us")
+                & ~t.endswith("is"),
+                t.substr(F.lit(1), F.length(t) - 1),
+            ).otherwise(t),
+        )
+    return toks
+
+
+def analyze_py(
+    text: str,
+    tokenizer: str = "standard",
+    stopwords: list[str] | None = None,
+    stem: bool = False,
+) -> list[str]:
+    """Pure-Python mirror of analyze_col, for test oracles only."""
+    toks = tokenize_py(text, tokenizer)
+    if stopwords:
+        sw = set(stopwords)
+        toks = [t for t in toks if t not in sw]
+    if stem:
+        toks = [_stem_light_py(t) for t in toks]
+    return toks
+
+
+def duckdb_analyze(
+    col_expr: str,
+    tokenizer: str = "standard",
+    stopwords: list[str] | None = None,
+    stem: bool = False,
+) -> str:
+    """DuckDB SQL expression mirroring analyze_col for oracle construction."""
+    expr = duckdb_tokenize(col_expr, tokenizer)
+    if stopwords:
+        lits = ", ".join(f"'{s}'" for s in sorted(set(stopwords)))
+        expr = f"list_filter({expr}, t -> not list_contains([{lits}], t))"
+    if stem:
+        expr = (
+            f"list_transform({expr}, t -> case when length(t) >= 4 "
+            f"and t like '%s' and t not like '%ss' and t not like '%us' "
+            f"and t not like '%is' then t[1:length(t)-1] else t end)"
+        )
+    return expr
+
+
 def tokenizer_hash() -> str:
     """Fingerprint of the analyzer definition, recorded in index manifests so
     checkpoint-resume refuses to mix segments built with different analyzers."""
