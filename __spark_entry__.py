@@ -947,6 +947,21 @@ def q_query_percentiles_agg(spark, sf_dir):
     return aggs["pct"].select("percent", F.round("value", 6).alias("value"))
 
 
+def q_significant_terms_agg(spark, sf_dir):
+    """significant_terms (JLH): terms over-represented in the match set vs
+    the whole index; ranked by unrounded score, value rounded for the
+    hash."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"sig": {"significant_terms": {"field": "text", "size": K}}},
+        k=K,
+    )
+    return aggs["sig"].select(
+        "key", "doc_count", "bg_count", F.round("score", 6).alias("score")
+    )
+
+
 def q_query_stats_agg(spark, sf_dir):
     """stats + exact-cardinality aggs over the match set in one row."""
     eng = _neural_engine(spark, sf_dir)
@@ -1993,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_with_aggs": q_query_with_aggs,
         "query_percentiles_agg": q_query_percentiles_agg,
         "query_stats_agg": q_query_stats_agg,
+        "significant_terms_agg": q_significant_terms_agg,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
@@ -2340,6 +2356,22 @@ def oracle_sql() -> dict[str, str]:
                  round(quantile_cont(n_chars, 0.50), 6),
                  round(quantile_cont(n_chars, 0.95), 6)]) as value
   from vals""",
+        "significant_terms_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('join', 'spark', 'window')
+  ),
+  fgn as (select count(*)::DOUBLE as fgn from matching),
+  fg as (select term as key, count(*)::BIGINT as doc_count
+         from postings join matching using(doc_id) group by 1),
+  sig as (select f.key, f.doc_count, s.df::BIGINT as bg_count,
+                 ((f.doc_count / g.fgn) - (s.df::DOUBLE / m.n))
+                 * ((f.doc_count / g.fgn) / (s.df::DOUBLE / m.n)) as raw
+          from fg f join stats s on f.key = s.term
+          cross join fgn g cross join meta m
+          where f.doc_count / g.fgn > s.df::DOUBLE / m.n)
+  select key, doc_count, bg_count, round(raw, 6) as score
+  from sig order by raw desc, key asc limit {K}""",
         "query_stats_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (

@@ -981,6 +981,53 @@ class QueryEngine:
                 out[name] = row.selectExpr(
                     f"stack({len(percents)}, {stack}) as (percent, value)"
                 )
+            elif akind == "significant_terms":
+                # OpenSearch significant_terms with the JLH heuristic:
+                # terms over-represented in the query's match set (foreground)
+                # vs the whole index (background). score = (fg% − bg%) ·
+                # (fg% / bg%); only fg% > bg% terms qualify. field equal to
+                # the indexed text column analyzes against the POSTINGS
+                # (term-level significance); any other field compares the
+                # docs column's value distributions. Everything stays lazy:
+                # foreground/background totals ride in as 1-row crossJoins.
+                size = int(body.get("size", 10))
+                fg_total = matched.agg(F.count("*").alias("_fgN"))
+                if field == body.get("text_field", "text"):
+                    fg = (
+                        self.tables.postings.join(
+                            matched.select("docID"), "docID", "left_semi"
+                        )
+                        .groupBy(F.col("term").alias("key"))
+                        .agg(F.count("*").cast("long").alias("doc_count"))
+                    )
+                    bg = self.tables.term_stats.select(
+                        F.col("term").alias("key"), F.col("df").alias("_bg")
+                    )
+                    bg_total = self.tables.meta.select(F.col("N").alias("_bgN"))
+                else:
+                    fg = match_docs.groupBy(F.col(field).alias("key")).agg(
+                        F.count("*").cast("long").alias("doc_count")
+                    )
+                    bg = self.docs.groupBy(F.col(field).alias("key")).agg(
+                        F.count("*").cast("long").alias("_bg")
+                    )
+                    bg_total = self.docs.agg(F.count("*").alias("_bgN"))
+                joined = (
+                    fg.join(bg, "key")
+                    .crossJoin(F.broadcast(fg_total))
+                    .crossJoin(F.broadcast(bg_total))
+                )
+                fg_rate = F.col("doc_count") / F.col("_fgN")
+                bg_rate = F.col("_bg") / F.col("_bgN")
+                scored_terms = joined.where(fg_rate > bg_rate).select(
+                    "key",
+                    "doc_count",
+                    F.col("_bg").cast("long").alias("bg_count"),
+                    ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("score"),
+                )
+                out[name] = scored_terms.orderBy(
+                    F.col("score").desc(), F.col("key").asc()
+                ).limit(size)
             elif akind == "stats":
                 # the OpenSearch stats agg: count/min/max/avg/sum in one pass
                 out[name] = match_docs.agg(

@@ -138,3 +138,52 @@ def test_cardinality_percentiles_stats_aggs(engine, transcripts):
         eng2.search_with_aggs(Q, {"p": {"percentiles": {"field": "_dl", "percents": [101]}}})[1][
             "p"
         ].collect()
+
+
+def test_significant_terms_agg(engine, transcripts):
+    matched = _match_rows(transcripts)
+    fg_n = len(matched)
+    all_rows = transcripts.select("docID", "text", "role").collect()
+    bg_n = len(all_rows)
+
+    def sig(fg_counts, bg_counts):
+        exp = {}
+        for key, fg in fg_counts.items():
+            bg = bg_counts[key]
+            fgr, bgr = fg / fg_n, bg / bg_n
+            if fgr > bgr:
+                exp[key] = (fg, bg, (fgr - bgr) * (fgr / bgr))
+        return exp
+
+    # text-term significance (postings-backed)
+    fg_terms = Counter()
+    bg_terms = Counter()
+    for r in all_rows:
+        toks = set(tokenize_py(r["text"]))
+        for t in toks:
+            bg_terms[t] += 1
+    for r in matched:
+        for t in set(tokenize_py(r["text"])):
+            fg_terms[t] += 1
+    exp = sig(fg_terms, bg_terms)
+    _, aggs = engine.search_with_aggs(
+        Q, {"sig": {"significant_terms": {"field": "text", "size": 5}}}
+    )
+    got = [(r["key"], r["doc_count"], r["bg_count"], r["score"]) for r in aggs["sig"].collect()]
+    top = sorted(exp.items(), key=lambda kv: (-kv[1][2], kv[0]))[:5]
+    assert [(k, v[0], v[1]) for k, v in top] == [(k, d, b) for k, d, b, _ in got]
+    for (_, v), (_, _, _, s) in zip(top, got):
+        assert s == pytest.approx(v[2], rel=1e-12)
+    # the query's own terms dominate the significance ranking
+    assert {got[0][0], got[1][0]} == {"merge", "sort"}
+    # categorical-field variant
+    matched_ids = {r["docID"] for r in matched}
+    fg_role = Counter(r["role"] for r in all_rows if r["docID"] in matched_ids)
+    bg_role = Counter(r["role"] for r in all_rows)
+    exp_r = sig(fg_role, bg_role)
+    _, aggs2 = engine.search_with_aggs(
+        Q, {"sig": {"significant_terms": {"field": "role", "size": 3}}}
+    )
+    got_r = {r["key"]: (r["doc_count"], r["bg_count"]) for r in aggs2["sig"].collect()}
+    assert got_r == {k: (v[0], v[1]) for k, v in
+                     sorted(exp_r.items(), key=lambda kv: (-kv[1][2], kv[0]))[:3]}
