@@ -283,6 +283,39 @@ class IndexStore:
             prune=prune,
         )
 
+    def stats(self) -> dict:
+        """Index telemetry — the _stats / _segments API analog: doc count,
+        deleted-doc count, vocabulary size, posting/block counts, per-stage
+        on-disk bytes, shard count. One small Spark job per table aggregate
+        plus an os.walk for bytes; nothing doc-sized reaches the driver."""
+        tombs = self.tombstones
+        seg = self.segments
+        seg_row = seg.agg(
+            F.count("*").alias("blocks"),
+            F.sum("n").alias("postings"),
+            F.count_distinct("shard").alias("shards"),
+        ).first()
+        vocab = self.term_stats.count()
+
+        def dir_bytes(stage: str) -> int:
+            total = 0
+            for root, _, files in os.walk(os.path.join(self.path, stage)):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+
+        return {
+            "docs": int(self.meta["N"]),
+            "deleted": int(tombs.count()) if tombs is not None else 0,
+            "avgdl": float(self.meta["avgdl"]),
+            "vocabulary": int(vocab),
+            "posting_blocks": int(seg_row["blocks"]),
+            "postings": int(seg_row["postings"] or 0),
+            "shards": int(seg_row["shards"]),
+            "bytes": {s: dir_bytes(s) for s in STAGES},
+            "codec_version": self.meta.get("codec_version"),
+            "tokenizer_hash": self.meta.get("tokenizer_hash"),
+        }
+
     def fetch(self, topk: DataFrame) -> DataFrame:
         """Join top-k hits back to the source turns (fetch phase — reference
         NormalizationProcessorWorkflow.java:180-229); the k-row side is

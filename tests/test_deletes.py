@@ -80,3 +80,14 @@ def test_compact_refreshes_stats_and_clears_tombstones(spark, tmp_path):
     # compacting with nothing deleted is a no-op
     res2 = store.compact()
     assert res2["deleted"] == 0 and res2["N"] == n0 - 4
+
+
+def test_store_stats(spark, tmp_path):
+    store = _build(spark, str(tmp_path / "idx"), n_convs=8)
+    st = store.stats()
+    assert st["docs"] == 48 and st["deleted"] == 0
+    assert st["vocabulary"] > 0 and st["postings"] > 0
+    assert st["posting_blocks"] >= st["shards"] >= 1
+    assert all(st["bytes"][s] > 0 for s in st["bytes"])
+    store.delete_docs([0, 1])
+    assert store.stats()["deleted"] == 2
