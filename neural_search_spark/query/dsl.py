@@ -776,6 +776,61 @@ class QueryEngine:
                 )
         return result
 
+    def msearch(self, queries: list[dict], k: int = 10) -> DataFrame:
+        """Multi-search — the _msearch API analog, returning
+        (query_id, rank, docID, score) for the whole request list.
+
+        Routing: when EVERY query is a plain lexical match/term (no
+        minimum_should_match / filter), the batch compiles to ONE postings
+        scan via query/batch.py (the 8×-amortization path — §5 of
+        BENCH.md); anything else falls back to per-query search() unioned
+        with its query_id, which is what the reference does for every
+        request anyway (one query per request, HybridQueryExecutor)."""
+        if not queries:
+            raise QueryValidationError("msearch needs at least one query")
+
+        def lexical_weights(q: dict) -> dict[str, float] | None:
+            if len(q) != 1:
+                return None
+            (kind,) = q.keys()
+            body = q[kind]
+            try:
+                if kind == "match":
+                    _, spec = _single_field(body, "match")
+                    if "minimum_should_match" in spec:
+                        return None
+                    boost = float(spec.get("boost", 1.0))
+                    toks = Counter(tokenize_py(spec["query"]))
+                    return {t: float(m) * boost for t, m in toks.items()} or None
+                if kind == "term":
+                    _, spec = _single_field(body, "term")
+                    return {str(spec["value"]): float(spec.get("boost", 1.0))}
+            except (KeyError, QueryValidationError, TypeError, ValueError):
+                return None
+            return None
+
+        parsed = [lexical_weights(q) for q in queries]
+        if all(p is not None for p in parsed):
+            from neural_search_spark.query.batch import bm25_topk_batch
+
+            rows = [
+                (qid, t, w)
+                for qid, weights in enumerate(parsed)
+                for t, w in sorted(weights.items())
+            ]
+            qdf = self.docs.sparkSession.createDataFrame(
+                rows, "query_id long, term string, weight double"
+            )
+            return bm25_topk_batch(
+                self.tables.postings, self.tables.doclens, self.tables.term_stats,
+                self.tables.meta, qdf, k=k,
+            )
+        out = None
+        for qid, q in enumerate(queries):
+            r = self.search(q, k=k).withColumn("query_id", F.lit(qid).cast("long"))
+            out = r if out is None else out.unionByName(r)
+        return out.select("query_id", "rank", "docID", "score")
+
     def search_json(self, query_json: str, **kwargs) -> DataFrame:
         """JSON-string query surface — the fromXContent analog
         (query/HybridQueryBuilder.java:149-223 etc.): parse, validate, and

@@ -206,3 +206,30 @@ def test_collapse_via_search(tabs, docs):
         eng.search({"match": {"text": "fast"}}, collapse="nope")
     with pytest.raises(QueryValidationError):
         eng.search({"match": {"text": "fast"}}, collapse="source", sort=[("source", "asc")])
+
+
+def test_msearch_batched_and_fallback(tabs, docs):
+    eng = QueryEngine(tables=tabs, docs=docs)
+    qs = [
+        {"match": {"text": "fast quick"}},
+        {"term": {"text": {"value": "lazy", "boost": 2.0}}},
+        {"match": {"text": {"query": "slow slow", "boost": 0.5}}},
+    ]
+    got = [
+        (r.query_id, r.rank, r.docID, r.score)
+        for r in eng.msearch(qs, k=3).orderBy("query_id", "rank").collect()
+    ]
+    exp = []
+    for qid, q in enumerate(qs):
+        for r in eng.search(q, k=3).collect():
+            exp.append((qid, r.rank, r.docID, r.score))
+    assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in exp]
+    for (_, _, _, s1), (_, _, _, s2) in zip(got, exp):
+        assert s1 == pytest.approx(s2, abs=1e-12)
+    # mixed batch (synonym is not batchable) falls back, same contract
+    qs2 = [{"match": {"text": "fast"}},
+           {"synonym": {"field": "text", "groups": [["fast", "quick"]]}}]
+    got2 = eng.msearch(qs2, k=2).orderBy("query_id", "rank").collect()
+    assert {r.query_id for r in got2} == {0, 1}
+    with pytest.raises(QueryValidationError):
+        eng.msearch([])
