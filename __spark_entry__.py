@@ -947,6 +947,27 @@ def q_query_percentiles_agg(spark, sf_dir):
     return aggs["pct"].select("percent", F.round("value", 6).alias("value"))
 
 
+RESCORE_WINDOW, RESCORE_RQW = 30, 2.0  # lexical rescore window + weight
+
+
+def q_bm25_rescore_top10(spark, sf_dir):
+    """Lexical rescore window (Lucene QueryRescorer): Q_BM25's top-30 docs
+    re-ranked by primary + 2·score(term 'merge'); non-matching window docs
+    keep the primary score."""
+    eng = _neural_engine(spark, sf_dir)
+    res = eng.search(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}}, k=K,
+        rescore={"window_size": RESCORE_WINDOW,
+                 "query": {"term": {"text": "merge"}},
+                 "rescore_query_weight": RESCORE_RQW, "score_mode": "total"},
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_significant_terms_agg(spark, sf_dir):
     """significant_terms (JLH): terms over-represented in the match set vs
     the whole index; ranked by unrounded score, value rounded for the
@@ -2009,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_percentiles_agg": q_query_percentiles_agg,
         "query_stats_agg": q_query_stats_agg,
         "significant_terms_agg": q_significant_terms_agg,
+        "bm25_rescore_top10": q_bm25_rescore_top10,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
@@ -2356,6 +2378,29 @@ def oracle_sql() -> dict[str, str]:
                  round(quantile_cont(n_chars, 0.50), 6),
                  round(quantile_cont(n_chars, 0.95), 6)]) as value
   from vals""",
+        "bm25_rescore_top10": f"""
+  with {SQL_INDEX_CTES},
+  qv as (select * from (values {", ".join(f"('{t}', {w!r}::DOUBLE)" for t, w in sorted(Q_BM25.items()))}) t(term, w)),
+  prim as (select p.doc_id,
+                  sum(q.w * ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                      * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))) as pscore
+           from postings p join qv q using(term) join stats s on p.term = s.term
+           join doclens d using(doc_id) cross join meta m group by 1),
+  win as (select doc_id, pscore from prim
+          order by pscore desc, doc_id asc limit {RESCORE_WINDOW}),
+  sec as (select p.doc_id,
+                 ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                 * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl)) as sscore
+          from postings p join stats s on p.term = s.term
+          join doclens d using(doc_id) cross join meta m
+          where p.term = 'merge'),
+  res as (select w.doc_id,
+                 case when s.sscore is null then w.pscore
+                      else w.pscore + {RESCORE_RQW} * s.sscore end as raw
+          from win w left join sec s using(doc_id))
+  select row_number() over (order by raw desc, doc_id asc)::BIGINT as rank,
+         doc_id, round(raw, 6) as score
+  from res order by raw desc, doc_id asc limit {K}""",
         "significant_terms_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (

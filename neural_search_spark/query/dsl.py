@@ -644,6 +644,7 @@ class QueryEngine:
         from_: int = 0,
         collapse: str | None = None,
         inner_hits: int = 1,
+        rescore: dict | None = None,
     ) -> DataFrame:
         """Execute a DSL query → (rank, docID, score).
 
@@ -668,7 +669,17 @@ class QueryEngine:
 
         `collapse` names a docs column: one best hit per distinct value
         (CollapsingTopDocsCollector), `inner_hits` top hits kept per group;
-        incompatible with sort/search_after/from_, like OpenSearch."""
+        incompatible with sort/search_after/from_, like OpenSearch.
+
+        `rescore` re-ranks the top `window_size` primary hits with a
+        second query (Lucene QueryRescorer):
+        {"window_size": 50, "query": dsl, "query_weight": 1.0,
+         "rescore_query_weight": 1.0, "score_mode": "total"} — modes
+        total/multiply/avg/max/min over the weighted scores; a window doc
+        the rescore query does not match keeps primary·query_weight
+        (QueryRescorer.combine). The secondary query sees only the window
+        docs (prefilter), so its postings work is window-bounded.
+        Incompatible with sort, like OpenSearch; requires k ≤ window."""
         (kind,) = query.keys()
         if from_ < 0:
             raise QueryValidationError("from_ must be >= 0")
@@ -702,6 +713,43 @@ class QueryEngine:
                 F.col(self.id_col).alias("docID")
             )
             scored = scored.join(keep, "docID", "left_semi")
+
+        if rescore is not None:
+            if sort:
+                raise QueryValidationError("rescore is incompatible with sort")
+            window_size = int(rescore.get("window_size", max(k, 10)))
+            if k > window_size:
+                raise QueryValidationError(
+                    f"k={k} exceeds rescore window_size={window_size}"
+                )
+            qw = float(rescore.get("query_weight", 1.0))
+            rqw = float(rescore.get("rescore_query_weight", 1.0))
+            mode = rescore.get("score_mode", "total")
+            window = (
+                scored.orderBy(F.col("score").desc(), F.col("docID").asc())
+                .limit(window_size)
+                .select("docID", (F.col("score") * F.lit(qw)).alias("_p"))
+            )
+            sec = self._score(
+                rescore["query"], window.select("docID"), k=window_size
+            ).select("docID", (F.col("score") * F.lit(rqw)).alias("_s"))
+            j = window.join(sec, "docID", "left")
+            p, s = F.col("_p"), F.col("_s")
+            combos = {
+                "total": p + s,
+                "multiply": p * s,
+                "avg": (p + s) / F.lit(2.0),
+                "max": F.greatest(p, s),
+                "min": F.least(p, s),
+            }
+            if mode not in combos:
+                raise QueryValidationError(f"unknown rescore score_mode: {mode}")
+            # QueryRescorer.combine: a window doc the rescore query does
+            # not match keeps primary·query_weight unchanged
+            scored = j.select(
+                "docID",
+                F.when(s.isNull(), p).otherwise(combos[mode]).alias("score"),
+            )
 
         if collapse is not None:
             if sort or search_after or from_:

@@ -233,3 +233,46 @@ def test_msearch_batched_and_fallback(tabs, docs):
     assert {r.query_id for r in got2} == {0, 1}
     with pytest.raises(QueryValidationError):
         eng.msearch([])
+
+
+def test_rescore_window(tabs, docs):
+    eng = QueryEngine(tables=tabs, docs=docs)
+    primary = {r.docID: r.score for r in
+               eng.search({"match": {"text": "fast quick slow lazy"}}, k=5).collect()}
+    sec = {r.docID: r.score for r in eng.search({"term": {"text": "lazy"}}, k=5).collect()}
+    got = eng.search(
+        {"match": {"text": "fast quick slow lazy"}}, k=3,
+        rescore={"window_size": 3, "query": {"term": {"text": "lazy"}},
+                 "query_weight": 0.5, "rescore_query_weight": 2.0,
+                 "score_mode": "total"},
+    ).collect()
+    window = sorted(primary.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    exp = sorted(
+        ((d, 0.5 * p + 2.0 * sec[d] if d in sec else 0.5 * p) for d, p in window),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert [(r.docID, r.score) for r in got] == [
+        (d, pytest.approx(s, abs=1e-12)) for d, s in exp
+    ]
+    # multiply mode: matching window docs multiply, non-matching keep primary
+    p_slow = {r.docID: r.score for r in eng.search({"match": {"text": "slow"}}, k=5).collect()}
+    got_m = {r.docID: r.score for r in eng.search(
+        {"match": {"text": "slow"}}, k=2,
+        rescore={"window_size": 2, "query": {"term": {"text": "lazy"}},
+                 "score_mode": "multiply"},
+    ).collect()}
+    win_m = sorted(p_slow.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    for d, p in win_m:
+        exp_m = p * sec[d] if d in sec else p
+        assert got_m[d] == pytest.approx(exp_m, abs=1e-12)
+    # validation
+    with pytest.raises(QueryValidationError):
+        eng.search({"match": {"text": "fast"}}, k=5,
+                   rescore={"window_size": 3, "query": {"term": {"text": "lazy"}}})
+    with pytest.raises(QueryValidationError):
+        eng.search({"match": {"text": "fast"}}, k=1, sort=[("source", "asc")],
+                   rescore={"window_size": 3, "query": {"term": {"text": "lazy"}}})
+    with pytest.raises(QueryValidationError):
+        eng.search({"match": {"text": "fast"}}, k=1,
+                   rescore={"window_size": 3, "query": {"term": {"text": "lazy"}},
+                            "score_mode": "nope"})
