@@ -92,6 +92,8 @@ QNAMES = [
     "synonym_top10",
     "mlt_top10",
     "collapse_top10",
+    "bm25_rescore_top10",
+    "significant_terms_agg",
     "fuzzy_top10",
     "hybrid_minmax_arithmetic",
     "hybrid_neural_match",
