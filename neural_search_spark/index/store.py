@@ -283,6 +283,32 @@ class IndexStore:
             prune=prune,
         )
 
+    def query_engine(self, positional: bool = False, **kwargs):
+        """Bridge to the full query DSL: a QueryEngine over the store's
+        persisted tables (match/term/bool/hybrid/span_near/synonym/
+        more_like_this/aggs/… all work against the on-disk index).
+        Tombstones, if any, ride in as a DSL-level exclusion the caller
+        applies via store.topk for BM25; the DSL engine itself reflects
+        deletes only after compact() (documented: one engine, one stats
+        epoch). `positional=True` additionally builds positional postings
+        from the stored docs (needed by match_phrase/span_near)."""
+        from neural_search_spark.index.build import IndexTables
+        from neural_search_spark.query.dsl import QueryEngine
+
+        meta = self.spark.createDataFrame(
+            [(self.meta["N"], self.meta["avgdl"])], "N long, avgdl double"
+        )
+        tables = IndexTables(
+            postings=self.postings, doclens=self.doclens,
+            term_stats=self.term_stats, meta=meta,
+        )
+        pos = None
+        if positional:
+            from neural_search_spark.query.phrase import build_positional_postings
+
+            pos = build_positional_postings(self.docs)
+        return QueryEngine(tables=tables, docs=self.docs, positional=pos, **kwargs)
+
     def stats(self) -> dict:
         """Index telemetry — the _stats / _segments API analog: doc count,
         deleted-doc count, vocabulary size, posting/block counts, per-stage

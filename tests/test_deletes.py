@@ -91,3 +91,20 @@ def test_store_stats(spark, tmp_path):
     assert all(st["bytes"][s] > 0 for s in st["bytes"])
     store.delete_docs([0, 1])
     assert store.stats()["deleted"] == 2
+
+
+def test_store_query_engine_bridge(spark, tmp_path):
+    store = _build(spark, str(tmp_path / "idx"), n_convs=8)
+    eng = store.query_engine(positional=True)
+    # DSL over the on-disk index agrees with the store's own topk
+    got = [(r.docID, r.score) for r in eng.search({"match": {"text": " ".join(QUERY)}}, k=5).collect()]
+    ref = [(r["docID"], r["score"]) for r in store.topk(QUERY, k=5, strategy="relational").collect()]
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, a), (_, b) in zip(got, ref):
+        assert abs(a - b) < 1e-9
+    # positional kinds work against the stored docs
+    assert eng.search({"match_phrase": {"text": "the data"}}, k=3).count() >= 0
+    aggs_hits, aggs = eng.search_with_aggs(
+        {"match": {"text": "data"}}, {"by_role": {"terms": {"field": "role"}}}
+    )
+    assert aggs["by_role"].count() > 0

@@ -126,4 +126,4 @@ def test_search_with_aggs_post_filter_only_filters_hits(spark, engine):
     assert a == b  # post_filter must not change aggregations
     assert all(r["docID"] is not None for r in hits_f.collect())
     with pytest.raises(QueryValidationError, match="aggregation"):
-        engine.search_with_aggs(q, {"x": {"percentiles": {"field": "turn_idx"}}})
+        engine.search_with_aggs(q, {"x": {"geo_bounds": {"field": "turn_idx"}}})
