@@ -378,6 +378,37 @@ def q_hybrid_batch_top5(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf_batch_top5(spark, sf_dir):
+    """Per-query RRF fusion for the same hybrid batch: ranks computed over
+    each sub-query's rounded bounded list, Σ 1/(60+rank) per doc — one
+    postings scan for the whole batch."""
+    from neural_search_spark.query.batch import fused_subquery_scores_batch, per_query_topk
+
+    t = _index(spark, sf_dir)
+    rows = [
+        (qid, si, term, w)
+        for qid, subs in Q_HY_BATCH.items()
+        for si, sub in enumerate(subs)
+        for term, w in sorted(sub.items())
+    ]
+    queries = spark.createDataFrame(
+        rows, "query_id long, subquery_idx int, term string, weight double"
+    )
+    fused = fused_subquery_scores_batch(t.postings, t.doclens, t.term_stats, t.meta, queries)
+    rounded = fused.withColumn("score", F.round("score", 6))
+    bounded = per_query_topk(rounded, K, key=["query_id", "subquery_idx"]).drop("rank")
+    combined = hybrid.rrf_combine(
+        bounded, 2, group_cols=("query_id", "docID"),
+        partition_cols=("query_id", "subquery_idx"),
+    ).withColumn("score", F.round("score", 6))
+    return per_query_topk(combined, k=5).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        "score",
+    )
+
+
 QREL_MOD, QREL_GRADE2_MOD = 5, 3  # judged: doc_id%5==0; grade 2 if also %3==0
 
 
@@ -1409,6 +1440,46 @@ def _oracle_sparse_batch(qdefs: dict[int, dict[str, float]], k: int) -> str:
   select query_id, rank, doc_id, score from ranked where rank <= {k}"""
 
 
+def _oracle_hybrid_rrf_batch(
+    qdefs: dict[int, list[dict[str, float]]], k: int, rank_constant: int = 60
+) -> str:
+    """Per-query replication of the single-RRF oracle, union-tagged by
+    query_id (ranks over each sub-query's top-K bounded list)."""
+    blocks, finals = [], []
+    for qid, (qa, qb) in sorted(qdefs.items()):
+        blocks.append(_sql_bm25_scored(qa, f"sa{qid}").lstrip().rstrip())
+        blocks.append(_sql_bm25_scored(qb, f"sb{qid}").lstrip().rstrip())
+        blocks.append(
+            f"ra{qid} as (select doc_id, row_number() over (order by score desc, "
+            f"doc_id asc) as r from sa{qid} order by score desc, doc_id asc limit {K})"
+        )
+        blocks.append(
+            f"rb{qid} as (select doc_id, row_number() over (order by score desc, "
+            f"doc_id asc) as r from sb{qid} order by score desc, doc_id asc limit {K})"
+        )
+        blocks.append(
+            f"""combined{qid} as (
+    select {qid}::BIGINT as query_id, doc_id,
+           round(sum(1.0 / ({rank_constant} + r)), 6) as score
+    from (select * from ra{qid} union all select * from rb{qid})
+    group by 1, 2
+  )"""
+        )
+        finals.append(f"select * from combined{qid}")
+    union = " union all ".join(finals)
+    return f"""with {SQL_INDEX_CTES},
+  {", ".join(blocks)},
+  allq as ({union}),
+  ranked as (
+    select query_id,
+           row_number() over (partition by query_id
+                              order by score desc, doc_id asc)::BIGINT as rank,
+           doc_id, score
+    from allq
+  )
+  select query_id, rank, doc_id, score from ranked where rank <= {k}"""
+
+
 def _oracle_hybrid_batch(qdefs: dict[int, list[dict[str, float]]], k: int) -> str:
     """Per-query replication of the single-hybrid oracle (min_max +
     arithmetic mean over two sub-queries), union-tagged by query_id."""
@@ -1982,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval_batch": q_rank_eval_batch,
         "sparse_batch_top5": q_sparse_batch_top5,
         "hybrid_batch_top5": q_hybrid_batch_top5,
+        "hybrid_rrf_batch_top5": q_hybrid_rrf_batch_top5,
         "bm25_wand_top10": q_bm25_wand_top10,
         "bm25_prefilter_top10": q_bm25_prefilter_top10,
         "bm25_post_filter_top10": q_bm25_post_filter_top10,
@@ -2116,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_eval_batch": _oracle_rank_eval(Q_BATCH, k=5),
         "sparse_batch_top5": _oracle_sparse_batch(Q_SPARSE_BATCH, k=5),
         "hybrid_batch_top5": _oracle_hybrid_batch(Q_HY_BATCH, k=5),
+        "hybrid_rrf_batch_top5": _oracle_hybrid_rrf_batch(Q_HY_BATCH, k=5),
         "bm25_wand_top10": _oracle_bm25(Q_BM25),
         "bm25_prefilter_top10": f"""with {SQL_INDEX_CTES},
   {_sql_bm25_scored(Q_BM25, "s_all")},

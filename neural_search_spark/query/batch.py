@@ -255,7 +255,11 @@ def hybrid_topk_batch(
     exactly `n_subqueries` sub-queries (0..n_subqueries-1); the pivot
     zero-fill assumes a uniform width (pad a narrower query with a
     match_none sub-query, or run it in its own batch)."""
-    from neural_search_spark.query.hybrid import combine_scores, normalize_scores
+    from neural_search_spark.query.hybrid import (
+        combine_scores,
+        normalize_scores,
+        rrf_combine,
+    )
 
     scores = fused_subquery_scores_batch(
         postings, doclens, term_stats, meta, queries, k1, b
@@ -263,10 +267,19 @@ def hybrid_topk_batch(
     bounded = per_query_topk(
         scores, subquery_k or k, key=["query_id", "subquery_idx"]
     ).drop("rank")
-    normalized = normalize_scores(
-        bounded, normalization, partition_cols=("query_id", "subquery_idx")
-    )
-    combined = combine_scores(
-        normalized, n_subqueries, combination, weights, group_cols=("query_id", "docID")
-    )
+    if combination == "rrf":
+        # rank fusion skips score normalization by construction
+        combined = rrf_combine(
+            bounded, n_subqueries, weights=weights,
+            group_cols=("query_id", "docID"),
+            partition_cols=("query_id", "subquery_idx"),
+        )
+    else:
+        normalized = normalize_scores(
+            bounded, normalization, partition_cols=("query_id", "subquery_idx")
+        )
+        combined = combine_scores(
+            normalized, n_subqueries, combination, weights,
+            group_cols=("query_id", "docID"),
+        )
     return per_query_topk(combined, k).select("query_id", "rank", "docID", "score")

@@ -908,3 +908,37 @@ def test_hybrid_batch_matches_per_query(spark, index_tables):
         assert [(r["docID"], round(r["score"], 9)) for r in rows] == [
             (r["docID"], round(r["score"], 9)) for r in exp
         ], qid
+
+
+def test_hybrid_batch_rrf_matches_per_query(spark, index_tables):
+    """Batch RRF fusion must equal hybrid_rrf_topk run once per query."""
+    from neural_search_spark.query.batch import hybrid_topk_batch
+    from neural_search_spark.query.hybrid import hybrid_rrf_topk
+
+    t = index_tables
+    qdefs = {
+        401: [{"the": 1.0, "spark": 1.0}, {"data": 1.0}],
+        402: [{"index": 2.0}, {"cache": 1.0, "query": 1.0}],
+    }
+    qrows = [
+        (qid, si, term, w)
+        for qid, subs in qdefs.items()
+        for si, sub in enumerate(subs)
+        for term, w in sorted(sub.items())
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, subquery_idx int, term string, weight double"
+    )
+    got = hybrid_topk_batch(
+        t.postings, t.doclens, t.term_stats, t.meta, queries,
+        n_subqueries=2, k=5, combination="rrf", weights=[1.0, 2.0],
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, subs in qdefs.items():
+        exp = hybrid_rrf_topk(t, subs, k=5, weights=[1.0, 2.0]).collect()
+        rows = by_q.get(qid, [])
+        assert [(r["docID"], round(r["score"], 9)) for r in rows] == [
+            (r["docID"], round(r["score"], 9)) for r in exp
+        ], qid
