@@ -15,6 +15,7 @@ used throughout so value-hashes match across engines:
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -979,6 +980,27 @@ def q_query_percentiles_agg(spark, sf_dir):
 
 
 RESCORE_WINDOW, RESCORE_RQW = 30, 2.0  # lexical rescore window + weight
+FS_ORIGIN, FS_SCALE, FS_DECAY = 150.0, 100.0, 0.5  # gauss decay on n_chars
+FS_SIGMA2 = -(FS_SCALE * FS_SCALE) / (2.0 * math.log(FS_DECAY))
+
+
+def q_function_score_top10(spark, sf_dir):
+    """function_score: BM25 base × gauss length-decay on n_chars (the
+    recency/popularity-boost shape, numeric variant)."""
+    eng = _neural_engine(spark, sf_dir)
+    res = eng.search(
+        {"function_score": {
+            "query": {"match": {"text": {"query": Q_MATCH_TEXT}}},
+            "gauss": {"n_chars": {"origin": FS_ORIGIN, "scale": FS_SCALE,
+                                  "decay": FS_DECAY}},
+            "boost_mode": "multiply",
+        }}, k=K,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_bm25_rescore_top10(spark, sf_dir):
@@ -2103,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_stats_agg": q_query_stats_agg,
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
+        "function_score_top10": q_function_score_top10,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
@@ -2474,6 +2497,21 @@ def oracle_sql() -> dict[str, str]:
   select row_number() over (order by raw desc, doc_id asc)::BIGINT as rank,
          doc_id, round(raw, 6) as score
   from res order by raw desc, doc_id asc limit {K}""",
+        "function_score_top10": f"""
+  with {SQL_INDEX_CTES},
+  qv as (select * from (values {", ".join(f"('{t}', {w!r}::DOUBLE)" for t, w in sorted(Q_BM25.items()))}) t(term, w)),
+  prim as (select p.doc_id,
+                  sum(q.w * ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+                      * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))) as pscore
+           from postings p join qv q using(term) join stats s on p.term = s.term
+           join doclens d using(doc_id) cross join meta m group by 1),
+  fs as (select pr.doc_id,
+                pr.pscore * exp(-(greatest(abs(dd.n_chars - {FS_ORIGIN}), 0.0) ^ 2)
+                                / (2 * {FS_SIGMA2!r})) as raw
+         from prim pr join documents dd using(doc_id))
+  select row_number() over (order by raw desc, doc_id asc)::BIGINT as rank,
+         doc_id, round(raw, 6) as score
+  from fs order by raw desc, doc_id asc limit {K}""",
         "significant_terms_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (

@@ -17,6 +17,9 @@ Supported query dicts::
     {"more_like_this": {"field": FIELD, "like": [docID, ...],
                       "max_query_terms": 25, "min_term_freq": 2,
                       "min_doc_freq": 5, "include": False}}
+    {"function_score": {"query": q, "boost_mode": "multiply",
+                      "field_value_factor": {...} |
+                      "gauss"/"exp"/"linear": {FIELD: {...}}}}
     {"prefix":       {FIELD: {"value": "pre", "boost": 1.0,
                               "rewrite": "constant_score" | "scoring_boolean"}}}
     {"wildcard":     {FIELD: {"value": "pa*er?", "boost": 1.0, "rewrite": ...}}}
@@ -290,6 +293,91 @@ class QueryEngine:
                 self.tables.postings, self.tables.doclens, self.tables.term_stats,
                 self.tables.meta, groups, boosts=boosts, prefilter=prefilter,
             )
+
+        if kind == "function_score":
+            # OpenSearch function_score with ONE function (the common case;
+            # multi-function score_mode composition is out of scope):
+            # {"function_score": {"query": q,
+            #    "field_value_factor": {"field": f, "factor": 1.0,
+            #        "modifier": "none|log1p|ln1p|sqrt|square|reciprocal",
+            #        "missing": 1.0},
+            #    OR "gauss"|"exp"|"linear": {FIELD: {"origin": x, "scale": s,
+            #        "offset": 0, "decay": 0.5}},   # numeric or timestamp
+            #    "boost_mode": "multiply|sum|avg|max|min|replace"}}
+            base = self._score(body["query"], prefilter, k=k)
+            fns = [f for f in ("field_value_factor", "gauss", "exp", "linear") if f in body]
+            if len(fns) != 1:
+                raise QueryValidationError(
+                    "function_score needs exactly one of field_value_factor/"
+                    "gauss/exp/linear"
+                )
+            fn = fns[0]
+            import math as _math
+
+            if fn == "field_value_factor":
+                spec = body[fn]
+                field = spec["field"]
+                col = F.col(field).cast("double")
+                missing = float(spec.get("missing", 1.0))
+                v = F.coalesce(col, F.lit(missing)) * F.lit(float(spec.get("factor", 1.0)))
+                modifier = spec.get("modifier", "none")
+                mods = {
+                    "none": v,
+                    "log1p": F.log10(v + F.lit(1.0)),
+                    "ln1p": F.log(v + F.lit(1.0)),
+                    "sqrt": F.sqrt(v),
+                    "square": v * v,
+                    "reciprocal": F.lit(1.0) / v,
+                }
+                if modifier not in mods:
+                    raise QueryValidationError(f"unknown modifier: {modifier}")
+                fcol = mods[modifier]
+            else:
+                ((field, spec),) = body[fn].items()
+                scale = float(spec["scale"])
+                offset = float(spec.get("offset", 0.0))
+                decay = float(spec.get("decay", 0.5))
+                if scale <= 0 or not 0 < decay < 1:
+                    raise QueryValidationError("decay needs scale > 0 and 0 < decay < 1")
+                col = F.col(field)
+                if dict(self.docs.dtypes).get(field) == "timestamp":
+                    # origin as ISO string/timestamp; distances in seconds
+                    col = F.unix_timestamp(col).cast("double")
+                    origin = F.unix_timestamp(
+                        F.to_timestamp(F.lit(spec["origin"]))
+                    ).cast("double")
+                else:
+                    col = col.cast("double")
+                    origin = F.lit(float(spec["origin"]))
+                dist = F.greatest(F.abs(col - origin) - F.lit(offset), F.lit(0.0))
+                if fn == "gauss":
+                    sigma2 = -(scale * scale) / (2.0 * _math.log(decay))
+                    fcol = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+                elif fn == "exp":
+                    lam = _math.log(decay) / scale
+                    fcol = F.exp(F.lit(lam) * dist)
+                else:  # linear
+                    s = scale / (1.0 - decay)
+                    fcol = F.greatest(
+                        (F.lit(s) - dist) / F.lit(s), F.lit(0.0)
+                    )
+            fields = self.docs.select(
+                F.col(self.id_col).alias("docID"), fcol.alias("_f")
+            )
+            j = base.join(fields, "docID")
+            p, f_ = F.col("score"), F.col("_f")
+            modes = {
+                "multiply": p * f_,
+                "sum": p + f_,
+                "avg": (p + f_) / F.lit(2.0),
+                "max": F.greatest(p, f_),
+                "min": F.least(p, f_),
+                "replace": f_,
+            }
+            bmode = body.get("boost_mode", "multiply")
+            if bmode not in modes:
+                raise QueryValidationError(f"unknown boost_mode: {bmode}")
+            return j.select("docID", modes[bmode].alias("score"))
 
         if kind == "more_like_this":
             # {"more_like_this": {"field": f, "like": [docID, ...],
