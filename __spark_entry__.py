@@ -980,8 +980,23 @@ def q_query_percentiles_agg(spark, sf_dir):
 
 
 RESCORE_WINDOW, RESCORE_RQW = 30, 2.0  # lexical rescore window + weight
+PERC_QDEFS = {  # percolate rules (keep in sync with the oracle VALUES)
+    1: {"terms": ["table", "part"]},
+    2: {"terms": ["merge", "sort"], "min_match": 1},
+    3: {"terms": ["spark"]},
+}
 FS_ORIGIN, FS_SCALE, FS_DECAY = 150.0, 100.0, 0.5  # gauss decay on n_chars
 FS_SIGMA2 = -(FS_SCALE * FS_SCALE) / (2.0 * math.log(FS_DECAY))
+
+
+def q_percolate_matches(spark, sf_dir):
+    """Percolate reverse search: every (document, registered rule) match
+    pair for PERC_QDEFS (bulk rule-tagging shape)."""
+    from neural_search_spark.query.percolate import percolate, register_queries
+
+    q = register_queries(spark, PERC_QDEFS)
+    out = percolate(_docs(spark, sf_dir), q, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "query_id")
 
 
 def q_function_score_top10(spark, sf_dir):
@@ -2126,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
         "function_score_top10": q_function_score_top10,
+        "percolate_matches": q_percolate_matches,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
@@ -2512,6 +2528,16 @@ def oracle_sql() -> dict[str, str]:
   select row_number() over (order by raw desc, doc_id asc)::BIGINT as rank,
          doc_id, round(raw, 6) as score
   from fs order by raw desc, doc_id asc limit {K}""",
+        "percolate_matches": f"""
+  with toks as (select distinct doc_id, term from ({SQL_TOKS})),
+  rules as (select * from (values
+      (1, 'table', 2), (1, 'part', 2),
+      (2, 'merge', 1), (2, 'sort', 1),
+      (3, 'spark', 1)) as t(query_id, term, min_match))
+  select t.doc_id, r.query_id::BIGINT as query_id
+  from toks t join rules r using(term)
+  group by t.doc_id, r.query_id, r.min_match
+  having count(*) >= r.min_match""",
         "significant_terms_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (
