@@ -94,6 +94,8 @@ QNAMES = [
     "collapse_top10",
     "bm25_rescore_top10",
     "significant_terms_agg",
+    "function_score_top10",
+    "percolate_matches",
     "fuzzy_top10",
     "hybrid_minmax_arithmetic",
     "hybrid_neural_match",
