@@ -156,11 +156,51 @@ class QueryEngine:
     positional: DataFrame | None = None
 
     # -- internal: score one leaf/bool query → (docID, score) --------------
+    def _query_kind(self, query) -> str:
+        """Shape validation shared by every public dispatch: a query is a
+        one-key dict whose body is an object (fromXContent contract)."""
+        if not isinstance(query, dict) or len(query) != 1:
+            raise QueryValidationError(
+                "query dict must have exactly one key, got "
+                + (str(sorted(query)) if isinstance(query, dict) else type(query).__name__)
+            )
+        (kind,) = query.keys()
+        if not isinstance(query[kind], dict):
+            raise QueryValidationError(
+                f"{kind} query body must be an object, got {type(query[kind]).__name__}"
+            )
+        return kind
+
     def _score(
         self, q: dict, prefilter: DataFrame | None, in_hybrid: bool = False, k: int = 10
     ) -> DataFrame:
-        if len(q) != 1:
-            raise QueryValidationError(f"query dict must have exactly one key, got {sorted(q)}")
+        """Parse + compile one query dict. Malformed input maps to
+        QueryValidationError — the fromXContent contract: a query body that
+        is not an object, is missing required fields, or carries
+        wrong-typed values is a PARSE error, never a raw KeyError/
+        TypeError/AttributeError escaping to the caller (pinned by
+        tests/test_dsl_fuzz.py)."""
+        if not isinstance(q, dict) or len(q) != 1:
+            raise QueryValidationError(
+                f"query dict must have exactly one key, got {sorted(q) if isinstance(q, dict) else type(q).__name__}"
+            )
+        (kind,) = q.keys()
+        if not isinstance(q[kind], dict):
+            raise QueryValidationError(
+                f"{kind} query body must be an object, got {type(q[kind]).__name__}"
+            )
+        try:
+            return self._score_inner(q, prefilter, in_hybrid, k)
+        except QueryValidationError:
+            raise
+        except (KeyError, TypeError, AttributeError) as e:
+            raise QueryValidationError(
+                f"malformed {kind} query: {type(e).__name__}: {e}"
+            ) from e
+
+    def _score_inner(
+        self, q: dict, prefilter: DataFrame | None, in_hybrid: bool = False, k: int = 10
+    ) -> DataFrame:
         (kind,) = q.keys()
         body = q[kind]
 
@@ -640,7 +680,7 @@ class QueryEngine:
         unranked and unbounded; NeuralQueryBuilder.java:300-354). For
         ranked retrieval use search(); for hybrid use search() (hybrid has
         no unranked form — its scores only exist after normalization)."""
-        (kind,) = query.keys()
+        kind = self._query_kind(query)
         if kind == "hybrid":
             raise QueryValidationError(
                 "hybrid has no unranked scoring surface — use search()"
@@ -768,7 +808,7 @@ class QueryEngine:
         (QueryRescorer.combine). The secondary query sees only the window
         docs (prefilter), so its postings work is window-bounded.
         Incompatible with sort, like OpenSearch; requires k ≤ window."""
-        (kind,) = query.keys()
+        kind = self._query_kind(query)
         if from_ < 0:
             raise QueryValidationError("from_ must be >= 0")
         if kind == "hybrid":
@@ -992,7 +1032,7 @@ class QueryEngine:
         term set, so the union collapses to a single IN-list-pushed scan +
         distinct — no per-sub-query scoring at all. Mixed hybrids union
         each non-lexical sub-query's scored doc set on top."""
-        (kind,) = query.keys()
+        kind = self._query_kind(query)
         if kind != "hybrid":
             return self._score(query, None).select("docID")
         subs = self._validate_hybrid(query[kind])
@@ -1239,7 +1279,7 @@ class QueryEngine:
         (term, q_weight, df, idf, tf, dl, avgdl, tf_norm, contribution);
         Σ contribution equals search()'s score for `doc_id`. Supported for
         the BM25-scored lexical kinds (match / term); other kinds raise."""
-        (kind,) = query.keys()
+        kind = self._query_kind(query)
         body = query[kind]
         if kind == "match":
             _, spec = _single_field(body, "match")
