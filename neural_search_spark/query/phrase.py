@@ -296,6 +296,12 @@ def span_near_match(
         return pos.where(F.col("term") == t).select("docID", F.col("pos").alias(alias))
 
     if in_order:
+        # Greedy-minimal continuation: if ANY completion exists from some
+        # continuation position, one exists from the SMALLEST (positions
+        # are strictly increasing and the window bound only references p0),
+        # so each step keeps min(cur) per anchor — a map-side-combinable
+        # agg that bounds intermediate rows to ≤ #anchors instead of the
+        # product of the terms' position lists.
         cur = pterm(terms[0], "p0").withColumn("cur", F.col("p0"))
         for i in range(1, q):
             nxt = pterm(terms[i], "_pi")
@@ -305,9 +311,10 @@ def span_near_match(
                     (F.col("_pi") > F.col("cur"))
                     & (F.col("_pi") <= F.col("p0") + F.lit(slop + i))
                 )
-                .select("docID", "p0", F.col("_pi").alias("cur"))
+                .groupBy("docID", "p0")
+                .agg(F.min("_pi").alias("cur"))
             )
-        anchors = cur.select("docID", "p0").distinct()
+        anchors = cur.select("docID", "p0")
     else:
         width = slop + q - 1
         cur = pterm(terms[0], "_p").select(
