@@ -1114,6 +1114,76 @@ def q_neural_rescore_top10(spark, sf_dir):
     )
 
 
+QTEXT = "table part supplier order"  # fixed query text for the model stand-in
+
+
+def _qvec_from_text() -> list[float]:
+    """Deterministic query vector: the registry's dense stand-in encoder
+    over QTEXT at the testdata embedding dim (driver-side, one call)."""
+    from neural_search_spark.query.models import hash_dense_encoder
+
+    return hash_dense_encoder(EMB_DIM)(QTEXT)
+
+
+def _model_engine(spark, sf_dir):
+    from neural_search_spark.query.models import default_registry
+
+    eng = _neural_engine(spark, sf_dir)
+    eng.models = default_registry(dim=EMB_DIM)
+    return eng
+
+
+def q_neural_query_text_top10(spark, sf_dir):
+    """Query-time inference path: the request carries (query_text, k) with
+    NO model_id; a search-pipeline `neural_query_enricher` request
+    processor injects the default model id
+    (processor/NeuralQueryEnricherProcessor.java:29-75 via
+    query/visitor/NeuralSearchQueryVisitor.java:38-54), the registry's
+    deterministic dense stand-in encodes the text driver-side
+    (query/NeuralQueryBuilder.java:311-325 rewrite analog), and the dense
+    search runs as usual. Oracle uses the same literal vector."""
+    from neural_search_spark.query.enricher import NeuralQueryEnricher
+    from neural_search_spark.query.pipeline import SearchPipeline
+
+    pipe = SearchPipeline(
+        _model_engine(spark, sf_dir),
+        request_processors=[NeuralQueryEnricher(default_model_id="standin-dense")],
+    )
+    res = pipe.search(
+        {"neural": {"embedding": {"query_text": QTEXT, "k": K}}}, k=K
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_pipeline_rerank_top10(spark, sf_dir):
+    """Full search-pipeline chain: neural_query_enricher (request) →
+    dense search → by_field rerank (response processor,
+    processor/rerank/ByFieldRerankProcessor.java): the k hits re-rank by
+    the docs column n_chars desc, new score = the field value, previous
+    score kept."""
+    from neural_search_spark.query.enricher import NeuralQueryEnricher
+    from neural_search_spark.query.pipeline import ByFieldRerank, SearchPipeline
+
+    pipe = SearchPipeline(
+        _model_engine(spark, sf_dir),
+        request_processors=[NeuralQueryEnricher(default_model_id="standin-dense")],
+        response_processors=[
+            ByFieldRerank(_docs(spark, sf_dir), "n_chars", id_col="doc_id")
+        ],
+    )
+    res = pipe.search({"neural": {"embedding": {"query_text": QTEXT, "k": K}}}, k=K)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.round("previous_score", 6).alias("previous_score"),
+    )
+
+
 def q_nested_roundtrip_tokens(spark, sf_dir):
     """Nested-document processing (ProcessorDocumentUtils.java nested
     map/list walking; InferenceProcessor.java:317-347 buildNestedMap):
@@ -1737,6 +1807,38 @@ def _oracle_neural_radial() -> str:
   select doc_id, round(c, 6) as score from raw where c >= {NEURAL_MIN_SCORE}"""
 
 
+def _sql_qvec_text() -> str:
+    """Literal-vector CTE body: the SAME deterministic stand-in encoding of
+    QTEXT the Spark side resolves through the model registry."""
+    vec = ",".join(repr(float(x)) for x in _qvec_from_text())
+    return f"(select [{vec}]::DOUBLE[] as qe)"
+
+
+def _oracle_neural_query_text() -> str:
+    return f"""
+  with q as {_sql_qvec_text()},
+  scored as (
+    select e.vec_id as doc_id, round({_SQL_COS}, 6) as score
+    from embeddings e, q
+  )
+  {_sql_rank("scored", "score", "doc_id", K)}"""
+
+
+def _oracle_pipeline_rerank() -> str:
+    return f"""
+  with q as {_sql_qvec_text()},
+  scored as (
+    select e.vec_id as doc_id, round({_SQL_COS}, 6) as score
+    from embeddings e, q
+  ),
+  topk as (select doc_id, score from scored order by score desc, doc_id asc limit {K})
+  select row_number() over (order by d.n_chars desc, t.doc_id asc)::BIGINT as rank,
+         t.doc_id, round(d.n_chars::DOUBLE, 6) as score,
+         t.score as previous_score
+  from topk t join documents d using (doc_id)
+  order by rank"""
+
+
 def _oracle_hybrid_neural() -> str:
     return f"""with {SQL_INDEX_CTES},
   {_sql_bm25_scored(Q_HY_A, "sa")},
@@ -2109,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neural_top10": q_neural_top10,
         "neural_radial": q_neural_radial,
         "neural_rescore_top10": q_neural_rescore_top10,
+        "neural_query_text_top10": q_neural_query_text_top10,
+        "pipeline_rerank_top10": q_pipeline_rerank_top10,
         "hybrid_neural_match": q_hybrid_neural_match,
         "hybrid_with_aggs": q_hybrid_with_aggs,
         "rerank_by_field": q_rerank_by_field,
@@ -2308,6 +2412,8 @@ def oracle_sql() -> dict[str, str]:
         "neural_top10": _oracle_neural_top10(),
         "neural_radial": _oracle_neural_radial(),
         "neural_rescore_top10": _oracle_neural_rescore(),
+        "neural_query_text_top10": _oracle_neural_query_text(),
+        "pipeline_rerank_top10": _oracle_pipeline_rerank(),
         "hybrid_neural_match": _oracle_hybrid_neural(),
         "hybrid_with_aggs": _oracle_hybrid_aggs(),
         "rerank_by_field": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},

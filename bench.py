@@ -102,6 +102,8 @@ QNAMES = [
     "hybrid_with_aggs",
     "neural_top10",
     "neural_rescore_top10",
+    "neural_query_text_top10",
+    "pipeline_rerank_top10",
     "token_term_counts",
     "dedup_exact",
     "minhash_lsh_pairs",

@@ -154,6 +154,12 @@ class QueryEngine:
     # optional positional index (query/phrase.py build_positional_postings);
     # required only by match_phrase — every other kind ignores it
     positional: DataFrame | None = None
+    # optional model registry (query/models.py): lets neural / neural_sparse
+    # clauses carry (query_text, model_id) instead of a literal vector /
+    # token map, the reference's query-time inference rewrite
+    # (NeuralQueryBuilder.java:311-325, NeuralSparseQueryBuilder.java:364-376).
+    # Encoding is one driver-side call per request — never per row.
+    models: "object | None" = None
 
     # -- internal: score one leaf/bool query → (docID, score) --------------
     def _query_kind(self, query) -> str:
@@ -448,7 +454,18 @@ class QueryEngine:
         if kind == "neural_sparse":
             field, spec = _single_field(body, "neural_sparse")
             boost = float(spec.get("boost", 1.0))
-            tokens = {t: float(w) * boost for t, w in spec["query_tokens"].items()}
+            raw_tokens = spec.get("query_tokens")
+            if raw_tokens is None:
+                # query-time inference: (query_text, model_id) → token weights
+                # via the registry (NeuralSparseQueryBuilder.java:364-376)
+                if self.models is None or "query_text" not in spec or not spec.get("model_id"):
+                    raise QueryValidationError(
+                        "neural_sparse needs query_tokens, or query_text + "
+                        "model_id with a model registry on the engine "
+                        "(QueryEngine(models=...))"
+                    )
+                raw_tokens = self.models.encode_sparse(spec["model_id"], spec["query_text"])
+            tokens = {t: float(w) * boost for t, w in raw_tokens.items()}
             weights_df = self.tables.postings.select(
                 "term", "docID", F.col("tf").cast("double").alias("weight")
             )
@@ -582,10 +599,15 @@ class QueryEngine:
             )
         qv = spec.get("query_vector")
         if qv is None:
-            raise QueryValidationError(
-                "neural query requires a literal query_vector (this engine has "
-                "no ML inference; the reference's model rewrite is out of scope)"
-            )
+            # query-time inference: (query_text, model_id) → dense vector via
+            # the registry (NeuralQueryBuilder.java:311-325 rewrite)
+            if self.models is None or "query_text" not in spec or not spec.get("model_id"):
+                raise QueryValidationError(
+                    "neural query needs a literal query_vector, or query_text "
+                    "+ model_id with a model registry on the engine "
+                    "(QueryEngine(models=...))"
+                )
+            qv = self.models.encode_dense(spec["model_id"], spec["query_text"])
         boost = float(spec.get("boost", 1.0))
         modes = [p for p in ("k", "max_distance", "min_score") if p in spec]
         if len(modes) > 1:
