@@ -1184,6 +1184,46 @@ def q_pipeline_rerank_top10(spark, sf_dir):
     )
 
 
+def q_doc_embeddings(spark, sf_dir):
+    """Ingest-time dense inference (TextEmbeddingProcessor.java:25-58 via
+    InferenceProcessor.java:154-242 batchExecute): one Arrow-batched pandas
+    UDF call per column batch == one model call per inferenceList. The
+    deterministic md5-token-hash stand-in is mirrored EXACTLY in the DuckDB
+    oracle (same tokenize, same byte math, same L2 normalize), so the
+    value hash proves the whole ingest inference path bit-for-bit. Output
+    sampled to dims 0-7 per doc (the normalization uses all 64)."""
+    from neural_search_spark.ops.embed import embed_text
+    from neural_search_spark.query.models import default_registry
+
+    emb = embed_text(
+        _docs(spark, sf_dir), default_registry(dim=EMB_DIM), "standin-dense"
+    )
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("dim", "val"))
+        .where(F.col("dim") < 8)
+        .select(
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("val", 6).alias("val"),
+        )
+    )
+
+
+def q_doc_sparse_embedding(spark, sf_dir):
+    """Ingest-time sparse inference (SparseEncodingProcessor analog): text →
+    rank_features-shaped map<token,weight> column, exploded to rows for the
+    oracle compare."""
+    from neural_search_spark.ops.embed import embed_sparse
+    from neural_search_spark.query.models import default_registry
+
+    emb = embed_sparse(
+        _docs(spark, sf_dir), default_registry(dim=EMB_DIM), "standin-sparse"
+    )
+    return emb.select(
+        "doc_id", F.explode("sparse_embedding").alias("token", "weight")
+    )
+
+
 def q_nested_roundtrip_tokens(spark, sf_dir):
     """Nested-document processing (ProcessorDocumentUtils.java nested
     map/list walking; InferenceProcessor.java:317-347 buildNestedMap):
@@ -1839,6 +1879,43 @@ def _oracle_pipeline_rerank() -> str:
   order by rank"""
 
 
+def _oracle_doc_embeddings() -> str:
+    """DuckDB mirror of query/models.py hash_dense_encoder: tokenize \\w+
+    on lower(text); per dim d, sum over tokens of (md5-byte[d % 16] − 128);
+    L2-normalize over all 64 dims; zero-token docs are the zero vector."""
+    return f"""
+  with dims as (select unnest(generate_series(0, {EMB_DIM - 1}))::BIGINT as dim),
+  toks as (
+    select doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) as tok
+    from documents
+  ),
+  acc as (
+    select t.doc_id, d.dim,
+           sum((('0x' || substr(md5(t.tok), ((d.dim % 16) * 2 + 1)::INT, 2))::INT - 128))::DOUBLE as v
+    from toks t cross join dims d
+    group by t.doc_id, d.dim
+  ),
+  norms as (select doc_id, sqrt(sum(v * v)) as nrm from acc group by doc_id),
+  emb as (
+    select dd.doc_id, d.dim,
+           coalesce(a.v / nullif(n.nrm, 0.0), 0.0) as val
+    from documents dd cross join dims d
+    left join acc a on a.doc_id = dd.doc_id and a.dim = d.dim
+    left join norms n on n.doc_id = dd.doc_id
+  )
+  select doc_id, dim, round(val, 6) as val from emb where dim < 8"""
+
+
+def _oracle_doc_sparse_embedding() -> str:
+    return """
+  select doc_id, tok as token, count(*)::DOUBLE as weight
+  from (
+    select doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) as tok
+    from documents
+  )
+  group by doc_id, tok"""
+
+
 def _oracle_hybrid_neural() -> str:
     return f"""with {SQL_INDEX_CTES},
   {_sql_bm25_scored(Q_HY_A, "sa")},
@@ -2213,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neural_rescore_top10": q_neural_rescore_top10,
         "neural_query_text_top10": q_neural_query_text_top10,
         "pipeline_rerank_top10": q_pipeline_rerank_top10,
+        "doc_embeddings": q_doc_embeddings,
+        "doc_sparse_embedding": q_doc_sparse_embedding,
         "hybrid_neural_match": q_hybrid_neural_match,
         "hybrid_with_aggs": q_hybrid_with_aggs,
         "rerank_by_field": q_rerank_by_field,
@@ -2414,6 +2493,8 @@ def oracle_sql() -> dict[str, str]:
         "neural_rescore_top10": _oracle_neural_rescore(),
         "neural_query_text_top10": _oracle_neural_query_text(),
         "pipeline_rerank_top10": _oracle_pipeline_rerank(),
+        "doc_embeddings": _oracle_doc_embeddings(),
+        "doc_sparse_embedding": _oracle_doc_sparse_embedding(),
         "hybrid_neural_match": _oracle_hybrid_neural(),
         "hybrid_with_aggs": _oracle_hybrid_aggs(),
         "rerank_by_field": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},

@@ -104,6 +104,7 @@ QNAMES = [
     "neural_rescore_top10",
     "neural_query_text_top10",
     "pipeline_rerank_top10",
+    "doc_embeddings",
     "token_term_counts",
     "dedup_exact",
     "minhash_lsh_pairs",

@@ -174,6 +174,31 @@ def test_unknown_model_id_is_validation_error(model_engine):
         )
 
 
+# ------------------------------------------------ ingest-time inference
+
+
+def test_embed_text_matches_query_time_encoding(spark, transcripts):
+    """Ingest (TextEmbeddingProcessor analog) and query-time encodings of
+    the same text must be identical — one encoder, two call sites."""
+    from neural_search_spark.ops.embed import embed_sparse, embed_text
+
+    reg = default_registry(dim=8)
+    rows = embed_text(transcripts.limit(20), reg, "standin-dense").select(
+        "text", "embedding"
+    ).collect()
+    enc = hash_dense_encoder(8)
+    assert len(rows) == 20
+    for r in rows:
+        assert r["embedding"] == pytest.approx(enc(r["text"]), abs=1e-12)
+
+    srows = embed_sparse(transcripts.limit(20), reg, "standin-sparse").select(
+        "text", "sparse_embedding"
+    ).collect()
+    senc = tf_sparse_encoder()
+    for r in srows:
+        assert dict(r["sparse_embedding"]) == senc(r["text"])
+
+
 # ---------------------------------------------------------------- pipeline
 
 
