@@ -635,6 +635,40 @@ def q_hybrid_rrf_top10(spark, sf_dir):
     )
 
 
+def q_hybrid_sorted_top10(spark, sf_dir):
+    """Sorted hybrid (HybridTopFieldDocSortCollector semantics): each
+    sub-query's bounded window competes on the SORT criteria — n_chars
+    desc, doc_id asc — not the score (FieldValueHitQueue,
+    search/collector/HybridTopFieldDocSortCollector.java:198-242;
+    ScoreCombiner.java:100-103 merges TopFieldDocs by the sort). Scores
+    are still min-max normalized over each field-bounded window and
+    arithmetic-mean combined; the final ranking is by the sort. Same
+    one-postings-scan fused sub-query scoring as the other hybrids."""
+    t = _index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    fused = hybrid.fused_bm25_subquery_scores(t, [Q_HY_A, Q_HY_B])
+    rounded = fused.withColumn("score", F.round("score", 6))
+    meta = docs.select(F.col("doc_id").alias("docID"), "n_chars")
+    order = [F.col("n_chars").desc(), F.col("docID").asc()]
+    bounded = hybrid.per_subquery_topk(rounded.join(meta, "docID"), K, order=order)
+    normalized = hybrid.normalize_scores(
+        bounded.select("subquery_idx", "docID", "score"), "min_max"
+    )
+    combined = hybrid.combine_scores(normalized, 2, "arithmetic_mean")
+    final = (
+        combined.join(meta, "docID")
+        .orderBy(*order)
+        .limit(K)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)).cast("long"))
+    )
+    return final.select(
+        "rank",
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def q_rerank_by_field(spark, sf_dir):
     """By-field rerank of the BM25 top-k (processor/rerank/
     ByFieldRerankProcessor.java): re-order the k hits by documents.n_chars
@@ -1715,6 +1749,31 @@ def _oracle_hybrid(normalization: str, combination: str) -> str:
   {_sql_rank("combined", "score", "doc_id", K)}"""
 
 
+def _oracle_hybrid_sorted() -> str:
+    """Sorted-hybrid mirror: per-subquery top-K by (n_chars desc, doc_id
+    asc), min-max normalize each field-bounded window, arithmetic mean,
+    final ranking by the sort criteria."""
+    return f"""with {SQL_INDEX_CTES},
+  {_sql_bm25_scored(Q_HY_A, "sa")},
+  {_sql_bm25_scored(Q_HY_B, "sb")},
+  ta as (select s.doc_id, s.score from sa s join documents d using (doc_id)
+         order by d.n_chars desc, s.doc_id asc limit {K}),
+  tb as (select s.doc_id, s.score from sb s join documents d using (doc_id)
+         order by d.n_chars desc, s.doc_id asc limit {K}),
+  na as {_sql_norm("ta", "min_max")},
+  nb as {_sql_norm("tb", "min_max")},
+  combined as (
+    select coalesce(na.doc_id, nb.doc_id) as doc_id,
+           round((coalesce(na.nscore, 0.0) + coalesce(nb.nscore, 0.0)) / 2, 6) as score
+    from na full outer join nb on na.doc_id = nb.doc_id
+  )
+  select row_number() over (order by d.n_chars desc, c.doc_id asc)::BIGINT as rank,
+         c.doc_id, c.score, d.n_chars::BIGINT as n_chars
+  from combined c join documents d using (doc_id)
+  order by rank
+  limit {K}"""
+
+
 def _oracle_hybrid_rrf(rank_constant: int = 60) -> str:
     return f"""with {SQL_INDEX_CTES},
   {_sql_bm25_scored(Q_HY_A, "sa")},
@@ -2282,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_linear_top10": q_sparse_linear_top10,
         "two_phase_sparse_top10": q_two_phase_sparse_top10,
         "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
+        "hybrid_sorted_top10": q_hybrid_sorted_top10,
         "hybrid_l2_geometric": q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
         "hybrid_rrf_top10": q_hybrid_rrf_top10,
@@ -2485,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
   {_sql_rank("scored", "score", "doc_id", K)}""",
         "two_phase_sparse_top10": _oracle_two_phase(),
         "hybrid_minmax_arithmetic": _oracle_hybrid("min_max", "arithmetic_mean"),
+        "hybrid_sorted_top10": _oracle_hybrid_sorted(),
         "hybrid_l2_geometric": _oracle_hybrid("l2", "geometric_mean"),
         "hybrid_minmax_harmonic": _oracle_hybrid("min_max", "harmonic_mean"),
         "hybrid_rrf_top10": _oracle_hybrid_rrf(),

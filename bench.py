@@ -98,6 +98,7 @@ QNAMES = [
     "percolate_matches",
     "fuzzy_top10",
     "hybrid_minmax_arithmetic",
+    "hybrid_sorted_top10",
     "hybrid_neural_match",
     "hybrid_with_aggs",
     "neural_top10",

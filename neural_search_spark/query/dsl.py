@@ -743,7 +743,49 @@ class QueryEngine:
             return {str(spec["value"]): float(spec.get("boost", 1.0))}
         return None
 
-    def _hybrid_subquery_scores(self, body: dict, k: int) -> DataFrame:
+    def _validate_sort(self, sort) -> None:
+        """Sort-criteria validation (FieldSortBuilder parse-time analog):
+        reject unknown fields and bad directions up front instead of a late
+        AnalysisException from the metadata join."""
+        for c, d in sort:
+            if d not in ("asc", "desc"):
+                raise QueryValidationError(
+                    f"sort direction must be 'asc' or 'desc', got {d!r} for field {c!r}"
+                )
+            if c != self.id_col and c not in self.docs.columns:
+                raise QueryValidationError(
+                    f"unknown sort field {c!r}; available: {sorted(self.docs.columns)}"
+                )
+
+    @staticmethod
+    def _cursor_condition(sort, search_after):
+        """Lexicographic (sortkeys[, docID]) > cursor — PagingFieldCollector
+        .java:88-95: when every sort key ties, skip only docs <= the cursor
+        doc, so rows tied on the sort keys but with a later docID stay
+        eligible."""
+        if len(search_after) not in (len(sort), len(sort) + 1):
+            raise QueryValidationError(
+                "search_after cursor must carry one value per sort key, "
+                "plus optionally the cursor docID as the final element"
+            )
+        cond = None
+        prev_eq = F.lit(True)
+        for (c, d), cur in zip(sort, search_after):
+            this = (F.col(c) < F.lit(cur)) if d == "desc" else (F.col(c) > F.lit(cur))
+            step = prev_eq & this
+            cond = step if cond is None else cond | step
+            prev_eq = prev_eq & (F.col(c) == F.lit(cur))
+        if len(search_after) == len(sort) + 1:
+            cond = cond | (prev_eq & (F.col("docID") > F.lit(search_after[-1])))
+        return cond
+
+    def _hybrid_subquery_scores(
+        self,
+        body: dict,
+        k: int,
+        sort: list[tuple[str, str]] | None = None,
+        search_after: list | None = None,
+    ) -> DataFrame:
         """(subquery_idx, docID, score) for every hybrid sub-query.
 
         All-lexical hybrids take the FUSED path: one IN-list-pushed postings
@@ -751,11 +793,21 @@ class QueryEngine:
         (hybrid.fused_bm25_subquery_scores) — n separate bm25_score_all
         calls would scan the postings n times at corpus scale. Mixed
         lexical/neural hybrids score each non-lexical sub-query on its own
-        source; the lexical subset still shares one fused scan."""
+        source; the lexical subset still shares one fused scan.
+
+        With `sort`, each sub-query's bounded window competes on the SORT
+        criteria instead of the score (HybridTopFieldDocSortCollector's
+        FieldValueHitQueue; ScoreCombiner.java:100-103 then merges
+        TopFieldDocs by the sort) — a low-scoring match with a winning sort
+        key MUST enter the window. A `search_after` cursor filters each
+        sub-query's matches BEFORE the bound (PagingFieldCollector skips
+        pre-cursor docs at collect time), so page n+1 draws fresh docs into
+        every window rather than paging within page 1's windows."""
         subs = self._validate_hybrid(body)
         sub_k = body.get("subquery_k", k)
         lex = [(idx, self._lexical_weights(sub)) for idx, sub in enumerate(subs)]
         fused_idx = [(idx, w) for idx, w in lex if w is not None]
+        by_sort = bool(sort)
         per = []
         if len(fused_idx) >= 2:
             fused = hybrid_mod.fused_bm25_subquery_scores(
@@ -768,21 +820,33 @@ class QueryEngine:
                 "docID",
                 "score",
             )
-            per.append(hybrid_mod.per_subquery_topk(fused, sub_k))
+            per.append(fused if by_sort else hybrid_mod.per_subquery_topk(fused, sub_k))
             rest = [(idx, sub) for idx, sub in enumerate(subs) if lex[idx][1] is None]
         else:
             rest = list(enumerate(subs))
         for idx, sub in rest:
             s = self._score(sub, None, in_hybrid=True, k=sub_k)
+            tagged = s.select(F.lit(idx).alias("subquery_idx"), "docID", "score")
             per.append(
-                hybrid_mod.bounded_subquery_union(
-                    [s.select(F.lit(idx).alias("subquery_idx"), "docID", "score")], sub_k
-                )
+                tagged if by_sort else hybrid_mod.bounded_subquery_union([tagged], sub_k)
             )
         union = per[0]
         for p in per[1:]:
             union = union.unionByName(p)
-        return union
+        if not by_sort:
+            return union
+        self._validate_sort(sort)
+        fields = [c for c, _ in sort if c != self.id_col]
+        meta = self.docs.select(F.col(self.id_col).alias("docID"), *fields)
+        joined = union.join(meta, "docID")
+        if search_after is not None:
+            joined = joined.where(self._cursor_condition(sort, search_after))
+        order = [
+            (F.col(c).desc() if d == "desc" else F.col(c).asc()) for c, d in sort
+        ] + [F.col("docID").asc()]
+        return hybrid_mod.per_subquery_topk(joined, sub_k, order=order).select(
+            "subquery_idx", "docID", "score"
+        )
 
     def search(
         self,
@@ -844,7 +908,9 @@ class QueryEngine:
             # reference's per-sub-query bounded heap (HybridTopScoreDoc
             # Collector.java:126-133); all-lexical sub-queries share ONE
             # fused postings scan (see _hybrid_subquery_scores)
-            bounded = self._hybrid_subquery_scores(body, k)
+            bounded = self._hybrid_subquery_scores(
+                body, k, sort=sort, search_after=search_after
+            )
             normalized = hybrid_mod.normalize_scores(bounded, body.get("normalization", "min_max"))
             scored = hybrid_mod.combine_scores(
                 normalized,
@@ -919,43 +985,14 @@ class QueryEngine:
             )
 
         if sort:
-            # sort-criteria validation (FieldSortBuilder parse-time analog):
-            # reject unknown fields and bad directions up front instead of a
-            # late AnalysisException from the join below
-            for c, d in sort:
-                if d not in ("asc", "desc"):
-                    raise QueryValidationError(
-                        f"sort direction must be 'asc' or 'desc', got {d!r} for field {c!r}"
-                    )
-                if c != self.id_col and c not in self.docs.columns:
-                    raise QueryValidationError(
-                        f"unknown sort field {c!r}; available: {sorted(self.docs.columns)}"
-                    )
+            self._validate_sort(sort)
             meta_cols = self.docs.withColumnRenamed(self.id_col, "_did")
             joined = scored.join(meta_cols, scored.docID == F.col("_did"))
             order = [
                 (F.col(c).desc() if d == "desc" else F.col(c).asc()) for c, d in sort
             ] + [F.col("docID").asc()]
             if search_after is not None:
-                if len(search_after) not in (len(sort), len(sort) + 1):
-                    raise QueryValidationError(
-                        "search_after cursor must carry one value per sort key, "
-                        "plus optionally the cursor docID as the final element"
-                    )
-                # lexicographic (sortkeys[, docID]) > cursor
-                cond = None
-                prev_eq = F.lit(True)
-                for (c, d), cur in zip(sort, search_after):
-                    this = (F.col(c) < F.lit(cur)) if d == "desc" else (F.col(c) > F.lit(cur))
-                    step = prev_eq & this
-                    cond = step if cond is None else cond | step
-                    prev_eq = prev_eq & (F.col(c) == F.lit(cur))
-                if len(search_after) == len(sort) + 1:
-                    # PagingFieldCollector.java:88-95: when every sort key
-                    # ties, skip only docs <= the cursor doc — rows tied on
-                    # the sort keys but with a later docID stay eligible
-                    cond = cond | (prev_eq & (F.col("docID") > F.lit(search_after[-1])))
-                joined = joined.where(cond)
+                joined = joined.where(self._cursor_condition(sort, search_after))
             from pyspark.sql import Window
 
             w = Window.orderBy(*order)

@@ -39,9 +39,13 @@ MIN_SCORE = 0.001  # MinMaxScoreNormalizationTechnique.java:26
 MAX_SUBQUERIES = 5  # HybridQueryBuilder.java:56
 
 
-def per_subquery_topk(scores: DataFrame, k: int) -> DataFrame:
-    """Bound each sub-query's result list to its own top-k (rank by score
-    desc, docID asc within subquery_idx).
+def per_subquery_topk(scores: DataFrame, k: int, order: list | None = None) -> DataFrame:
+    """Bound each sub-query's result list to its own top-k (rank by `order`,
+    default score desc, docID asc within subquery_idx). A custom `order`
+    (sort-field columns) is the HybridTopFieldDocSortCollector analog: with
+    a search sort, each sub-query's bounded heap competes on the SORT
+    criteria, not the score (FieldValueHitQueue,
+    search/collector/HybridTopFieldDocSortCollector.java:198-242).
 
     Two-level top-k — the bounded-heap analog of the reference's per-shard
     HitQueue + coordinator merge (search/collector/HybridTopScoreDocCollector
@@ -55,7 +59,7 @@ def per_subquery_topk(scores: DataFrame, k: int) -> DataFrame:
     `orderBy().limit(k)` per frame before the union (TakeOrderedAndProject);
     this function covers the already-unioned shape.
     """
-    order = [F.col("score").desc(), F.col("docID").asc()]
+    order = order or [F.col("score").desc(), F.col("docID").asc()]
     w_local = Window.partitionBy("subquery_idx", "_pid").orderBy(*order)
     local = (
         scores.withColumn("_pid", F.spark_partition_id())

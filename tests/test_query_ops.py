@@ -257,6 +257,78 @@ def test_dsl_sort_and_search_after(spark, transcripts, engine):
         engine.search({"match_all": {}}, k=5, sort=[("conv_id", "ascending")])
 
 
+def test_hybrid_sort_windows_bound_by_sort_field(spark, transcripts, engine):
+    """HybridTopFieldDocSortCollector semantics: with a field sort, each
+    sub-query's bounded window competes on the SORT criteria, not the score
+    (FieldValueHitQueue; ScoreCombiner.java:100-103 merges TopFieldDocs by
+    the sort). A low-scoring match with a winning sort key must appear."""
+    q = {"hybrid": {"queries": [
+        {"match": {"text": {"query": "spark query"}}},
+        {"match": {"text": {"query": "data pipeline"}}},
+    ]}}
+    k = 5
+    sort = [("turn_idx", "desc")]
+    got = engine.search(q, k=k, sort=sort).collect()
+
+    # python oracle: per-subquery MATCH SETS → per-subquery top-k by
+    # (turn_idx desc, docID asc) → union → order by the same keys, limit k
+    meta = {r["docID"]: r["turn_idx"] for r in transcripts.select("docID", "turn_idx").collect()}
+    windows = set()
+    for sub in q["hybrid"]["queries"]:
+        matches = [r["docID"] for r in engine._score(sub, None).collect()]
+        matches.sort(key=lambda d: (-meta[d], d))
+        windows.update(matches[:k])
+    exp = sorted(windows, key=lambda d: (-meta[d], d))[:k]
+    assert [r["docID"] for r in got] == exp
+    assert [r["rank"] for r in got] == list(range(1, k + 1))
+
+    # the old (wrong) window: per-subquery top-k by SCORE then field sort —
+    # prove the fixture actually distinguishes the two semantics
+    score_windows = set()
+    for sub in q["hybrid"]["queries"]:
+        rows = engine._score(sub, None).collect()
+        rows.sort(key=lambda r: (-r["score"], r["docID"]))
+        score_windows.update(r["docID"] for r in rows[:k])
+    exp_old = sorted(score_windows, key=lambda d: (-meta[d], d))[:k]
+    assert exp_old != exp, "fixture does not separate field- vs score-bounded windows"
+
+
+def test_hybrid_sort_search_after_draws_fresh_docs(spark, transcripts, engine):
+    """Paging a sorted hybrid applies the cursor BEFORE the per-sub-query
+    bound (PagingFieldCollector skips pre-cursor docs at collect time), so
+    later pages surface docs that were outside page 1's windows."""
+    q = {"hybrid": {"queries": [
+        {"match": {"text": {"query": "spark query"}}},
+        {"match": {"text": {"query": "data pipeline"}}},
+    ]}}
+    k = 5
+    sort = [("turn_idx", "desc")]
+    meta = {r["docID"]: r["turn_idx"] for r in transcripts.select("docID", "turn_idx").collect()}
+
+    # full expected page sequence from the python oracle, page by page
+    def pages(expected_total):
+        cursor, seen = None, []
+        while True:
+            rows = engine.search(q, k=k, sort=sort, search_after=cursor).collect()
+            if not rows:
+                break
+            seen.extend(r["docID"] for r in rows)
+            cursor = [meta[rows[-1]["docID"]], rows[-1]["docID"]]
+            if len(seen) > expected_total:
+                break
+        return seen
+
+    # union of ALL matches = what paging must eventually enumerate
+    all_matches = set()
+    for sub in q["hybrid"]["queries"]:
+        all_matches.update(r["docID"] for r in engine._score(sub, None).collect())
+    seen = pages(len(all_matches))
+    assert len(seen) == len(set(seen)), "a doc was repeated across pages"
+    assert set(seen) == all_matches, "paging missed docs outside page-1 windows"
+    order = sorted(all_matches, key=lambda d: (-meta[d], d))
+    assert seen == order, "global page sequence must follow the sort"
+
+
 def test_dsl_search_after_docid_tiebreak(spark, transcripts, engine):
     """PagingFieldCollector.java:88-95: when sort keys tie at the cursor,
     only docs <= the cursor doc are skipped — paging a heavily-tied sort key
