@@ -1033,6 +1033,21 @@ def q_percolate_matches(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "query_id")
 
 
+def q_percolate_stream_matches(spark, sf_dir):
+    """Streaming-shaped percolation (streaming/percolate.py): the SAME rule
+    set evaluated as a stateless per-row codegen'd projection — no shuffle,
+    no state, append-mode safe, identical plan on batch and streaming
+    frames (the alerting path; pytest runs it through an actual
+    availableNow file-source stream). Same oracle semantics as
+    percolate_matches, different physical strategy."""
+    from neural_search_spark.streaming.percolate import percolate_stream
+
+    out = percolate_stream(_docs(spark, sf_dir), PERC_QDEFS, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("query_id").cast("long").alias("query_id")
+    )
+
+
 def q_function_score_top10(spark, sf_dir):
     """function_score: BM25 base × gauss length-decay on n_chars (the
     recency/popularity-boost shape, numeric variant)."""
@@ -2385,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rescore_top10": q_bm25_rescore_top10,
         "function_score_top10": q_function_score_top10,
         "percolate_matches": q_percolate_matches,
+        "percolate_stream_matches": q_percolate_stream_matches,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
@@ -2777,6 +2793,16 @@ def oracle_sql() -> dict[str, str]:
          doc_id, round(raw, 6) as score
   from fs order by raw desc, doc_id asc limit {K}""",
         "percolate_matches": f"""
+  with toks as (select distinct doc_id, term from ({SQL_TOKS})),
+  rules as (select * from (values
+      (1, 'table', 2), (1, 'part', 2),
+      (2, 'merge', 1), (2, 'sort', 1),
+      (3, 'spark', 1)) as t(query_id, term, min_match))
+  select t.doc_id, r.query_id::BIGINT as query_id
+  from toks t join rules r using(term)
+  group by t.doc_id, r.query_id, r.min_match
+  having count(*) >= r.min_match""",
+        "percolate_stream_matches": f"""
   with toks as (select distinct doc_id, term from ({SQL_TOKS})),
   rules as (select * from (values
       (1, 'table', 2), (1, 'part', 2),

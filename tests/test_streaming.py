@@ -104,3 +104,48 @@ def test_streaming_compact_and_wand(spark, streamed):
         merged, t.term_stats, int(m["N"]), float(m["avgdl"]), terms, k=10, zone_width=32
     ).collect()
     assert [r["docID"] for r in got] == [d for d, _ in exp]
+
+
+def test_streaming_percolate_matches_batch(spark, tmp_path_factory):
+    """percolate_stream: the same stateless transform runs on a streaming
+    and a batch frame with identical results, matches the relational
+    percolator, and stays append-mode (no state store, no shuffle)."""
+    from neural_search_spark.data import assign_doc_ids
+    from neural_search_spark.query.percolate import percolate, register_queries
+    from neural_search_spark.streaming.percolate import percolate_stream
+
+    root = tmp_path_factory.mktemp("perc")
+    in_dir, cp = str(root / "in"), str(root / "cp")
+    docs = assign_doc_ids(synthesize_transcripts(spark, 15, 8, seed=7))
+    docs.write.parquet(in_dir)
+
+    qdefs = {
+        1: {"terms": ["spark", "query"]},                  # conjunction
+        2: {"terms": ["data", "pipeline", "batch"], "min_match": 1},
+        3: {"terms": ["the"], "min_match": 1},
+    }
+
+    # streaming leg: file source -> percolate_stream -> memory sink
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out = percolate_stream(stream, qdefs)
+    q = (
+        out.writeStream.format("memory").queryName("perc_alerts")
+        .option("checkpointLocation", cp).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["query_id"]) for r in spark.sql("select * from perc_alerts").collect()}
+
+    # batch leg: identical transform on the batch frame
+    batch = {(r["id"], r["query_id"])
+             for r in percolate_stream(spark.read.parquet(in_dir), qdefs).collect()}
+    assert got == batch
+
+    # relational percolator agreement
+    rel = {(r["id"], r["query_id"])
+           for r in percolate(spark.read.parquet(in_dir), register_queries(spark, qdefs)).collect()}
+    assert got == rel
+    assert got, "fixture matched no rules — strengthen the rule set"
+
+    # validation parity with register_queries
+    with pytest.raises(ValueError, match="min_match"):
+        percolate_stream(docs, {9: {"terms": ["a"], "min_match": 2}})
