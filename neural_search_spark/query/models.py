@@ -69,19 +69,39 @@ def hash_dense_encoder(dim: int = 8) -> Callable[[str], list[float]]:
     """Deterministic text → unit vector: each token hashes (md5) to a signed
     coordinate pattern; token vectors sum and the result is L2-normalized.
     A reproducible stand-in for a sentence-embedding model: same text →
-    same vector, shared tokens → correlated vectors."""
+    same vector, shared tokens → correlated vectors.
+
+    Token vectors are memoized (corpus vocabularies repeat heavily) and
+    accumulated as int64 — every accumulator value is an exact integer, so
+    the memoized/vectorized path is BIT-IDENTICAL to naive per-token
+    summation in any order; only the final normalize touches floats."""
+    import numpy as np
+
+    # plain-dict memo (lru_cache wrappers defeat cloudpickle; the closure
+    # dict ships to executors empty and refills per worker)
+    memo: dict[str, "np.ndarray"] = {}
+
+    def _tokvec(tok: str):
+        v = memo.get(tok)
+        if v is None:
+            h = hashlib.md5(tok.encode("utf-8")).digest()
+            # byte → signed value in [-128, 127]
+            v = np.array([h[i % len(h)] - 128 for i in range(dim)], dtype=np.int64)
+            if len(memo) < (1 << 16):
+                memo[tok] = v
+        return v
 
     def encode(text: str) -> list[float]:
-        acc = [0.0] * dim
-        for tok in _TOKEN_RE.findall(text.lower()):
-            h = hashlib.md5(tok.encode("utf-8")).digest()
-            for i in range(dim):
-                # byte → signed value in [-128, 127]
-                acc[i] += h[i % len(h)] - 128
-        norm = math.sqrt(sum(x * x for x in acc))
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            return [0.0] * dim
+        acc = np.zeros(dim, dtype=np.int64)
+        for tok in toks:
+            acc += _tokvec(tok)
+        norm = math.sqrt(int(acc @ acc))
         if norm == 0.0:
             return [0.0] * dim
-        return [x / norm for x in acc]
+        return [float(x) / norm for x in acc]
 
     return encode
 
