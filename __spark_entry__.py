@@ -1258,6 +1258,34 @@ def q_doc_embeddings(spark, sf_dir):
     )
 
 
+def q_doc_text_image_embeddings(spark, sf_dir):
+    """Ingest-time MULTIMODAL inference (TextImageEmbeddingProcessor.java:
+    43-44,111-140): one {inputText, inputImage} pair per doc, one model
+    call, ONE embedding column. The image payload is derived
+    deterministically from the row (utf-8 of "source:doc_id") so the
+    DuckDB oracle can mirror the md5 byte math exactly; text contributes
+    its token accumulation, the image one signed-md5 vector, int64 sum →
+    L2 normalize. Output sampled to dims 0-7 (normalization over all 64)."""
+    from neural_search_spark.ops.embed import embed_text_image
+    from neural_search_spark.query.models import default_registry
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "image", F.encode(F.concat_ws(":", "source", "doc_id"), "utf-8")
+    )
+    emb = embed_text_image(
+        docs, default_registry(dim=EMB_DIM), "standin-multimodal"
+    )
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("dim", "val"))
+        .where(F.col("dim") < 8)
+        .select(
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("val", 6).alias("val"),
+        )
+    )
+
+
 def q_doc_sparse_embedding(spark, sf_dir):
     """Ingest-time sparse inference (SparseEncodingProcessor analog): text →
     rank_features-shaped map<token,weight> column, exploded to rows for the
@@ -1980,6 +2008,39 @@ def _oracle_doc_embeddings() -> str:
   select doc_id, dim, round(val, 6) as val from emb where dim < 8"""
 
 
+def _oracle_doc_text_image() -> str:
+    """Mirror of hash_multimodal_encoder over (text, utf8(source:doc_id)):
+    token accumulation + one signed-md5 image vector, L2-normalized."""
+    return f"""
+  with dims as (select unnest(generate_series(0, {EMB_DIM - 1}))::BIGINT as dim),
+  toks as (
+    select doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) as tok
+    from documents
+  ),
+  tacc as (
+    select t.doc_id, d.dim,
+           sum((('0x' || substr(md5(t.tok), ((d.dim % 16) * 2 + 1)::INT, 2))::INT - 128))::DOUBLE as v
+    from toks t cross join dims d
+    group by t.doc_id, d.dim
+  ),
+  iv as (
+    select dd.doc_id, d.dim,
+           (('0x' || substr(md5(dd.source || ':' || dd.doc_id::VARCHAR),
+                            ((d.dim % 16) * 2 + 1)::INT, 2))::INT - 128)::DOUBLE as v
+    from documents dd cross join dims d
+  ),
+  acc as (
+    select i.doc_id, i.dim, i.v + coalesce(t.v, 0.0) as v
+    from iv i left join tacc t on t.doc_id = i.doc_id and t.dim = i.dim
+  ),
+  norms as (select doc_id, sqrt(sum(v * v)) as nrm from acc group by doc_id),
+  emb as (
+    select a.doc_id, a.dim, coalesce(a.v / nullif(n.nrm, 0.0), 0.0) as val
+    from acc a join norms n using (doc_id)
+  )
+  select doc_id, dim, round(val, 6) as val from emb where dim < 8"""
+
+
 def _oracle_doc_sparse_embedding() -> str:
     return """
   select doc_id, tok as token, count(*)::DOUBLE as weight
@@ -2367,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_rerank_top10": q_pipeline_rerank_top10,
         "doc_embeddings": q_doc_embeddings,
         "doc_sparse_embedding": q_doc_sparse_embedding,
+        "doc_text_image_embeddings": q_doc_text_image_embeddings,
         "hybrid_neural_match": q_hybrid_neural_match,
         "hybrid_with_aggs": q_hybrid_with_aggs,
         "rerank_by_field": q_rerank_by_field,
@@ -2572,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_rerank_top10": _oracle_pipeline_rerank(),
         "doc_embeddings": _oracle_doc_embeddings(),
         "doc_sparse_embedding": _oracle_doc_sparse_embedding(),
+        "doc_text_image_embeddings": _oracle_doc_text_image(),
         "hybrid_neural_match": _oracle_hybrid_neural(),
         "hybrid_with_aggs": _oracle_hybrid_aggs(),
         "rerank_by_field": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},

@@ -52,6 +52,34 @@ def embed_text(
     return df.withColumn(out_col, _embed(F.col(text_col)))
 
 
+def embed_text_image(
+    df: DataFrame,
+    registry: ModelRegistry,
+    model_id: str,
+    text_col: str = "text",
+    image_col: str = "image",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """TextImageEmbeddingProcessor analog: ONE embedding column from a
+    (text, image-bytes) pair — the reference builds a single
+    ``{inputText, inputImage}`` inference map per doc, either key optional
+    (``TextImageEmbeddingProcessor.java:43-44,111-140``), and one
+    multimodal model call returns one vector. Null text/image behave as
+    the absent key. Same batch-per-call / zero-shuffle shape as
+    :func:`embed_text`."""
+    enc = registry._get(model_id, "multimodal")
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _embed(texts, images):
+        import pandas as pd
+
+        return pd.Series(
+            [enc(t, i) for t, i in zip(texts, images)], index=texts.index
+        )
+
+    return df.withColumn(out_col, _embed(F.col(text_col), F.col(image_col)))
+
+
 def embed_sparse(
     df: DataFrame,
     registry: ModelRegistry,

@@ -24,7 +24,16 @@ import re
 from collections import Counter
 from typing import Callable
 
+import numpy as np
+
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _signed_md5_vec(data: bytes, dim: int) -> "np.ndarray":
+    """md5(data) → int64 vector of signed byte values in [-128, 127],
+    cycling the 16 digest bytes across `dim` coordinates."""
+    h = hashlib.md5(data).digest()
+    return np.array([h[i % len(h)] - 128 for i in range(dim)], dtype=np.int64)
 
 
 class ModelNotFoundError(KeyError):
@@ -40,8 +49,10 @@ class ModelRegistry:
         self._models: dict[str, tuple[str, Callable]] = {}
 
     def register(self, model_id: str, kind: str, fn: Callable) -> "ModelRegistry":
-        if kind not in ("dense", "sparse"):
-            raise ValueError(f"model kind must be 'dense' or 'sparse', got {kind!r}")
+        if kind not in ("dense", "sparse", "multimodal"):
+            raise ValueError(
+                f"model kind must be 'dense', 'sparse' or 'multimodal', got {kind!r}"
+            )
         self._models[model_id] = (kind, fn)
         return self
 
@@ -64,6 +75,11 @@ class ModelRegistry:
     def encode_sparse(self, model_id: str, text: str) -> dict[str, float]:
         return {str(t): float(w) for t, w in self._get(model_id, "sparse")(text).items()}
 
+    def encode_multimodal(
+        self, model_id: str, text: str | None, image: bytes | None
+    ) -> list[float]:
+        return [float(x) for x in self._get(model_id, "multimodal")(text, image)]
+
 
 def hash_dense_encoder(dim: int = 8) -> Callable[[str], list[float]]:
     """Deterministic text → unit vector: each token hashes (md5) to a signed
@@ -75,29 +91,48 @@ def hash_dense_encoder(dim: int = 8) -> Callable[[str], list[float]]:
     accumulated as int64 — every accumulator value is an exact integer, so
     the memoized/vectorized path is BIT-IDENTICAL to naive per-token
     summation in any order; only the final normalize touches floats."""
-    import numpy as np
-
     # plain-dict memo (lru_cache wrappers defeat cloudpickle; the closure
     # dict ships to executors empty and refills per worker)
     memo: dict[str, "np.ndarray"] = {}
 
-    def _tokvec(tok: str):
+    def encode(text: str) -> list[float]:
+        acc = _text_acc(text, dim, memo)
+        norm = math.sqrt(int(acc @ acc))
+        if norm == 0.0:
+            return [0.0] * dim
+        return [float(x) / norm for x in acc]
+
+    return encode
+
+
+def _text_acc(text: str, dim: int, memo: dict) -> "np.ndarray":
+    """Σ over tokens of the signed-md5 token vector (int64, exact)."""
+    acc = np.zeros(dim, dtype=np.int64)
+    for tok in _TOKEN_RE.findall(text.lower()):
         v = memo.get(tok)
         if v is None:
-            h = hashlib.md5(tok.encode("utf-8")).digest()
-            # byte → signed value in [-128, 127]
-            v = np.array([h[i % len(h)] - 128 for i in range(dim)], dtype=np.int64)
+            v = _signed_md5_vec(tok.encode("utf-8"), dim)
             if len(memo) < (1 << 16):
                 memo[tok] = v
-        return v
+        acc += v
+    return acc
 
-    def encode(text: str) -> list[float]:
-        toks = _TOKEN_RE.findall(text.lower())
-        if not toks:
-            return [0.0] * dim
-        acc = np.zeros(dim, dtype=np.int64)
-        for tok in toks:
-            acc += _tokvec(tok)
+
+def hash_multimodal_encoder(dim: int = 8) -> Callable[[str | None, bytes | None], list[float]]:
+    """Deterministic (text, image bytes) → ONE unit vector — the
+    TextImageEmbeddingProcessor stand-in (``TextImageEmbeddingProcessor
+    .java:43-44,135-140``: a single multimodal model call consumes
+    ``{inputText, inputImage}``, either key optional, and returns one
+    embedding). Text contributes its token accumulation, the image
+    contributes one signed-md5 vector of the raw bytes; the int64 sum is
+    L2-normalized (exact-integer accumulation → order-independent and
+    memo-safe, like the dense encoder)."""
+    memo: dict[str, "np.ndarray"] = {}
+
+    def encode(text: str | None, image: bytes | None) -> list[float]:
+        acc = _text_acc(text or "", dim, memo)
+        if image:
+            acc = acc + _signed_md5_vec(bytes(image), dim)
         norm = math.sqrt(int(acc @ acc))
         if norm == 0.0:
             return [0.0] * dim
@@ -118,9 +153,10 @@ def tf_sparse_encoder() -> Callable[[str], dict[str, float]]:
 
 
 def default_registry(dim: int = 8) -> ModelRegistry:
-    """A registry pre-loaded with one dense and one sparse stand-in."""
+    """A registry pre-loaded with dense, sparse, and multimodal stand-ins."""
     return (
         ModelRegistry()
         .register("standin-dense", "dense", hash_dense_encoder(dim))
         .register("standin-sparse", "sparse", tf_sparse_encoder())
+        .register("standin-multimodal", "multimodal", hash_multimodal_encoder(dim))
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from neural_search_spark.query.dsl import QueryEngine, QueryValidationError
 from neural_search_spark.query.enricher import NeuralQueryEnricher
@@ -197,6 +198,35 @@ def test_embed_text_matches_query_time_encoding(spark, transcripts):
     senc = tf_sparse_encoder()
     for r in srows:
         assert dict(r["sparse_embedding"]) == senc(r["text"])
+
+
+def test_embed_text_image_single_vector(spark, transcripts):
+    """TextImageEmbeddingProcessor analog: one embedding from the
+    (text, image) pair; either input optional; text-only degenerates to
+    the dense encoder's vector."""
+    from neural_search_spark.ops.embed import embed_text_image
+    from neural_search_spark.query.models import hash_multimodal_encoder
+
+    reg = default_registry(dim=8)
+    docs = transcripts.limit(10).withColumn(
+        "image", F.encode(F.concat_ws(":", "conv_id", "turn_idx"), "utf-8")
+    )
+    rows = embed_text_image(docs, reg, "standin-multimodal").select(
+        "text", "image", "embedding"
+    ).collect()
+    enc = hash_multimodal_encoder(8)
+    for r in rows:
+        assert r["embedding"] == pytest.approx(enc(r["text"], bytes(r["image"])), abs=1e-12)
+        assert np.linalg.norm(r["embedding"]) == pytest.approx(1.0)
+
+    # image=NULL column → behaves as absent inputImage == text-only vector
+    nulled = docs.withColumn("image", F.lit(None).cast("binary"))
+    rows2 = embed_text_image(nulled, reg, "standin-multimodal").select(
+        "text", "embedding"
+    ).collect()
+    denc = hash_dense_encoder(8)
+    for r in rows2:
+        assert r["embedding"] == pytest.approx(denc(r["text"]), abs=1e-12)
 
 
 # ---------------------------------------------------------------- pipeline
