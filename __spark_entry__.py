@@ -669,6 +669,29 @@ def q_hybrid_sorted_top10(spark, sf_dir):
     )
 
 
+def q_ml_rerank_top10(spark, sf_dir):
+    """Cross-encoder rerank of the BM25 top-k (MLOpenSearchRerankProcessor
+    / RescoringRerankProcessor dataflow): one relevance call re-scores the
+    k (query, doc) pairs and the hits re-sort by the new score. The model
+    stand-in is token Jaccard overlap, computed JVM-side on the k
+    broadcast-joined rows — exactly where the cross-encoder RPC drops in;
+    the oracle mirrors it in SQL."""
+    from neural_search_spark.query.pipeline import CrossEncoderRerank
+
+    hits = _ranked(
+        _bm25_scores_rounded(_index(spark, sf_dir), Q_BM25), "score", "doc_id", K
+    )
+    ce = CrossEncoderRerank(
+        _docs(spark, sf_dir), "spark join window", id_col="doc_id"
+    )
+    out = ce(hits.select(F.col("doc_id").alias("docID")))
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_rerank_by_field(spark, sf_dir):
     """By-field rerank of the BM25 top-k (processor/rerank/
     ByFieldRerankProcessor.java): re-order the k hits by documents.n_chars
@@ -1792,6 +1815,29 @@ def _oracle_hybrid(normalization: str, combination: str) -> str:
   {_sql_rank("combined", "score", "doc_id", K)}"""
 
 
+def _oracle_ml_rerank() -> str:
+    """Mirror of CrossEncoderRerank's Jaccard stand-in over the BM25
+    top-K: score = |q∩d| / (|d| + |q| − |q∩d|) on distinct standard
+    tokens, q = {spark, join, window}."""
+    return f"""with {SQL_INDEX_CTES},
+  {_sql_bm25_scored(Q_BM25, "s")},
+  topk as (select doc_id from s order by score desc, doc_id asc limit {K}),
+  dtoks as (select doc_id, count(distinct term) as nd
+            from ({SQL_TOKS}) group by 1),
+  inter as (select tk.doc_id, count(distinct tk.term) as ni
+            from ({SQL_TOKS}) tk join topk using (doc_id)
+            where tk.term in ('spark', 'join', 'window') group by 1),
+  jac as (
+    select t.doc_id,
+           coalesce(i.ni, 0)::DOUBLE / (d.nd + 3 - coalesce(i.ni, 0)) as score
+    from topk t join dtoks d using (doc_id)
+    left join inter i on i.doc_id = t.doc_id
+  )
+  select row_number() over (order by score desc, doc_id asc)::BIGINT as rank,
+         doc_id, round(score, 6) as score
+  from jac order by rank"""
+
+
 def _oracle_hybrid_sorted() -> str:
     """Sorted-hybrid mirror: per-subquery top-K by (n_chars desc, doc_id
     asc), min-max normalize each field-bounded window, arithmetic mean,
@@ -2432,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_neural_match": q_hybrid_neural_match,
         "hybrid_with_aggs": q_hybrid_with_aggs,
         "rerank_by_field": q_rerank_by_field,
+        "ml_rerank_top10": q_ml_rerank_top10,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2637,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_image_embeddings": _oracle_doc_text_image(),
         "hybrid_neural_match": _oracle_hybrid_neural(),
         "hybrid_with_aggs": _oracle_hybrid_aggs(),
+        "ml_rerank_top10": _oracle_ml_rerank(),
         "rerank_by_field": f"""with {SQL_INDEX_CTES}, {_sql_bm25_scored(Q_BM25)},
   topk as ({_sql_rank("scored", "score", "doc_id", K)})
   select row_number() over (order by d.n_chars desc, t.doc_id asc)::BIGINT as rank,

@@ -54,6 +54,56 @@ class ByFieldRerank:
         )
 
 
+class CrossEncoderRerank:
+    """Response processor: re-score the k hits with a query×document
+    relevance function — the MLOpenSearchRerankProcessor /
+    RescoringRerankProcessor dataflow (``processor/rerank/
+    MLOpenSearchRerankProcessor.java``, ``RescoringRerankProcessor.java``:
+    collect the hit texts, one model call scores (query, doc) pairs,
+    results re-sort by the new score). The model stand-in here is token
+    Jaccard overlap — computed JVM-side with array functions on the k
+    joined rows (the hits side is broadcast; no Python, no extra scan of
+    the corpus), exactly where a cross-encoder RPC would drop in.
+    Hits missing a doc row are dropped, like the processor's
+    only-rescored-hits behavior."""
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        query_text: str,
+        text_col: str = "text",
+        id_col: str = "docID",
+    ) -> None:
+        self.docs = docs
+        self.query_text = query_text
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, hits: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.analysis.tokenizer import tokenize_col
+
+        qtoks = F.array_distinct(tokenize_col(F.lit(self.query_text)))
+        dtoks = F.array_distinct(tokenize_col(self.text_col))
+        jac = F.when(
+            F.size(F.array_union(qtoks, dtoks)) > 0,
+            F.size(F.array_intersect(qtoks, dtoks))
+            / F.size(F.array_union(qtoks, dtoks)),
+        ).otherwise(F.lit(0.0))
+        scored = (
+            self.docs.select(
+                F.col(self.id_col).alias("docID"), jac.alias("_ce")
+            )
+            .join(F.broadcast(hits.select("docID")), "docID")
+        )
+        w = Window.orderBy(F.col("_ce").desc(), F.col("docID").asc())
+        return scored.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "docID", F.col("_ce").alias("score")
+        )
+
+
 class SearchPipeline:
     """Ordered processor chain around a QueryEngine.
 

@@ -232,6 +232,30 @@ def test_embed_text_image_single_vector(spark, transcripts):
 # ---------------------------------------------------------------- pipeline
 
 
+def test_cross_encoder_rerank_jaccard(spark, transcripts, engine):
+    """CrossEncoderRerank: k hits re-score by query×doc token Jaccard and
+    re-sort; python oracle over the collected texts."""
+    from neural_search_spark.query.pipeline import CrossEncoderRerank
+    from neural_search_spark.analysis.tokenizer import tokenize_py
+
+    hits = engine.search({"match": {"text": {"query": "spark query"}}}, k=8)
+    out = CrossEncoderRerank(transcripts, "spark query")(hits).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    texts = {r["docID"]: r["text"] for r in transcripts.collect()}
+    q = set(tokenize_py("spark query"))
+
+    def jac(d):
+        t = set(tokenize_py(texts[d]))
+        return len(q & t) / len(q | t) if q | t else 0.0
+
+    ids = [r["docID"] for r in hits.collect()]
+    exp = sorted(ids, key=lambda d: (-jac(d), d))
+    assert [r["docID"] for r in out] == exp
+    for r in out:
+        assert r["score"] == pytest.approx(jac(r["docID"]), abs=1e-12)
+
+
 def test_search_pipeline_enrich_then_rerank(model_engine, transcripts):
     pipe = SearchPipeline(
         model_engine,
