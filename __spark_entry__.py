@@ -936,6 +936,32 @@ def _neural_engine(spark, sf_dir):
     )
 
 
+def q_range_query_hits(spark, sf_dir):
+    """Top-level range query kind (RangeQueryBuilder): filter context,
+    constant score × boost, k hits in (score desc, doc_id asc) order."""
+    eng = _neural_engine(spark, sf_dir)
+    res = eng.search(
+        {"range": {"n_chars": {"gte": 200, "lt": 260, "boost": 2.0}}}, k=25
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_terms_query_hits(spark, sf_dir):
+    """Top-level terms query kind (TermsQueryBuilder): field → value set
+    membership, constant score."""
+    eng = _neural_engine(spark, sf_dir)
+    res = eng.search({"terms": {"lang": ["de", "fr"]}}, k=25)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_neural_top10(spark, sf_dir):
     """Dense `neural` DSL query, k-mode with an attached filter — the
     filtered-kNN analog (query/NeuralQueryBuilder.java:86,300-354): the
@@ -2467,6 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_l2_geometric": q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
         "hybrid_rrf_top10": q_hybrid_rrf_top10,
+        "range_query_hits": q_range_query_hits,
+        "terms_query_hits": q_terms_query_hits,
         "neural_top10": q_neural_top10,
         "neural_radial": q_neural_radial,
         "neural_rescore_top10": q_neural_rescore_top10,
@@ -2674,6 +2702,16 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_l2_geometric": _oracle_hybrid("l2", "geometric_mean"),
         "hybrid_minmax_harmonic": _oracle_hybrid("min_max", "harmonic_mean"),
         "hybrid_rrf_top10": _oracle_hybrid_rrf(),
+        "range_query_hits": """
+  with m as (select doc_id from documents where n_chars >= 200 and n_chars < 260)
+  select row_number() over (order by doc_id asc)::BIGINT as rank,
+         doc_id, 2.0 as score
+  from m order by doc_id asc limit 25""",
+        "terms_query_hits": """
+  with m as (select doc_id from documents where lang in ('de', 'fr'))
+  select row_number() over (order by doc_id asc)::BIGINT as rank,
+         doc_id, 1.0 as score
+  from m order by doc_id asc limit 25""",
         "neural_top10": _oracle_neural_top10(),
         "neural_radial": _oracle_neural_radial(),
         "neural_rescore_top10": _oracle_neural_rescore(),

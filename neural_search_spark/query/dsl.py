@@ -43,6 +43,8 @@ Supported query dicts::
                       "minimum_should_match": m}}   # Lucene BooleanQuery
     {"ids":          {"values": [docID, ...]}}     # constant-score membership
     {"exists":       {"field": column}}            # non-null field
+    {"range":        {FIELD: {"gte"/"gt"/"lte"/"lt": v, "boost": b}}}
+    {"terms":        {FIELD: [v, ...], "boost": b}}  # constant-score set
     {"match_all": {}} / {"match_none": {}}
 
 Filter predicates (reference: FILTER clauses pushed into each sub-query,
@@ -224,6 +226,48 @@ class QueryEngine:
             values = [int(v) for v in body["values"]]
             base = self.docs.where(F.col(self.id_col).isin(values)).select(
                 F.col(self.id_col).alias("docID"), F.lit(1.0).alias("score")
+            )
+            if prefilter is not None:
+                base = base.join(prefilter, "docID", "left_semi")
+            return base
+
+        if kind == "range":
+            # top-level range query (OpenSearch RangeQueryBuilder): filter
+            # context, constant score × boost. DSL shape
+            # {"range": {FIELD: {"gte"/"gt"/"lte"/"lt": v, "boost": b}}}
+            field, spec = _single_field(body, "range")
+            spec = dict(spec)
+            boost = float(spec.pop("boost", 1.0))
+            if field not in self.docs.columns:
+                raise QueryValidationError(
+                    f"unknown range field {field!r}; available: {sorted(self.docs.columns)}"
+                )
+            cond = filter_condition({"range": {"column": field, **spec}})
+            base = self.docs.where(cond).select(
+                F.col(self.id_col).alias("docID"), F.lit(boost).alias("score")
+            )
+            if prefilter is not None:
+                base = base.join(prefilter, "docID", "left_semi")
+            return base
+
+        if kind == "terms":
+            # top-level terms query (TermsQueryBuilder): field → value list,
+            # filter context, constant score × boost
+            spec = dict(body)
+            boost = float(spec.pop("boost", 1.0))
+            if len(spec) != 1:
+                raise QueryValidationError("terms query must target exactly one field")
+            ((field, vals),) = spec.items()
+            if not isinstance(vals, (list, tuple)) or not vals:
+                raise QueryValidationError(
+                    "terms query needs a non-empty list of values"
+                )
+            if field not in self.docs.columns:
+                raise QueryValidationError(
+                    f"unknown terms field {field!r}; available: {sorted(self.docs.columns)}"
+                )
+            base = self.docs.where(F.col(field).isin(*list(vals))).select(
+                F.col(self.id_col).alias("docID"), F.lit(boost).alias("score")
             )
             if prefilter is not None:
                 base = base.join(prefilter, "docID", "left_semi")

@@ -35,3 +35,32 @@ def test_exists_query(engine, transcripts):
 def test_exists_unknown_field(engine):
     with pytest.raises(QueryValidationError):
         engine.search({"exists": {"field": "nope_col"}}, k=5).collect()
+
+
+def test_range_query_kind(engine, transcripts):
+    """Top-level range query (RangeQueryBuilder): filter context,
+    constant score × boost."""
+    exp = {r["docID"] for r in transcripts.where("turn_idx >= 3 and turn_idx < 5").collect()}
+    hits = engine.search(
+        {"range": {"turn_idx": {"gte": 3, "lt": 5, "boost": 2.0}}}, k=len(exp) + 10
+    ).collect()
+    assert {r["docID"] for r in hits} == exp
+    assert all(r["score"] == 2.0 for r in hits)
+    with pytest.raises(QueryValidationError, match="unknown range"):
+        engine.search({"range": {"turn_idx": {"between": [1, 2]}}}, k=5).collect()
+    with pytest.raises(QueryValidationError, match="unknown range field"):
+        engine.search({"range": {"nope": {"gte": 1}}}, k=5).collect()
+
+
+def test_terms_query_kind(engine, transcripts):
+    """Top-level terms query (TermsQueryBuilder): field → value list."""
+    exp = {r["docID"] for r in transcripts.where("role in ('user','tool')").collect()}
+    hits = engine.search({"terms": {"role": ["user", "tool"]}}, k=len(exp) + 10).collect()
+    assert {r["docID"] for r in hits} == exp
+    assert all(r["score"] == 1.0 for r in hits)
+    with pytest.raises(QueryValidationError, match="non-empty"):
+        engine.search({"terms": {"role": []}}, k=5).collect()
+    # composes in bool.must_not
+    q = {"bool": {"must": [{"match_all": {}}], "must_not": [{"terms": {"role": ["user"]}}]}}
+    n_user = transcripts.where("role = 'user'").count()
+    assert len(engine.search(q, k=10_000).collect()) == transcripts.count() - n_user
