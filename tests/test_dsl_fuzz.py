@@ -18,7 +18,7 @@ KINDS = [
     "match", "match_phrase", "term", "prefix", "wildcard", "fuzzy",
     "neural_sparse", "neural", "hybrid", "bool", "ids", "exists",
     "match_all", "match_none", "synonym", "more_like_this", "span_near",
-    "function_score", "nonsense_kind",
+    "function_score", "range", "terms", "nonsense_kind",
 ]
 VALUES = [None, 1, "alpha", [], {}, [1, 2], {"query": "alpha"},
           {"value": "alpha"}, {"field": "text"}, {"terms": ["alpha"]},
