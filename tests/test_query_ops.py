@@ -880,6 +880,24 @@ def test_dsl_hybrid_fused_single_postings_scan(spark, transcripts, index_tables,
     assert len(data_scans) == 1, plan
     assert res.count() == 10
 
+    # SORTED hybrid keeps the same single fused scan: the sort-key join and
+    # field-bounded windows must not re-plan the postings pass
+    res2 = eng.search(
+        {"hybrid": {"queries": [
+            {"match": {"text": "the data"}},
+            {"match": {"text": "spark model"}},
+        ]}},
+        k=10,
+        sort=[("turn_idx", "desc")],
+    )
+    plan2 = res2._jdf.queryExecution().executedPlan().toString()
+    postings_scans2 = [
+        ln for ln in plan2.splitlines()
+        if "FileScan parquet" in ln and "tf" in ln
+    ]
+    assert len(postings_scans2) == 1, plan2
+    assert res2.count() == 10
+
 
 def test_bm25_batch_matches_per_query(spark, index_tables):
     """Batch multi-query top-k (one postings pass for the whole query set)
