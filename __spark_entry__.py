@@ -134,6 +134,24 @@ def _sql_bm25_scored(tokens: dict[str, float], alias: str = "scored") -> str:
   )"""
 
 
+def _sql_bm25_raw(tokens: dict[str, float], alias: str) -> str:
+    """CTE body: (doc_id, UNROUNDED score) — for entries that combine
+    sub-query scores before the single final round(…, 6)."""
+    return f"""
+  q_{alias} as {_sql_values(tokens)},
+  {alias} as (
+    select p.doc_id,
+           sum(q.w * ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+               * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))) as score
+    from postings p
+    join q_{alias} q on p.term = q.term
+    join stats s on p.term = s.term
+    join doclens d on p.doc_id = d.doc_id
+    cross join meta m
+    group by 1
+  )"""
+
+
 SQL_SHINGLES = f"""
   tokarr as ({SQL_TOKARR}),
   shingles as (
@@ -1070,6 +1088,53 @@ PERC_QDEFS = {  # percolate rules (keep in sync with the oracle VALUES)
 }
 FS_ORIGIN, FS_SCALE, FS_DECAY = 150.0, 100.0, 0.5  # gauss decay on n_chars
 FS_SIGMA2 = -(FS_SCALE * FS_SCALE) / (2.0 * math.log(FS_DECAY))
+DM_TIE = 0.3  # dis_max tie_breaker: best sub-score + 0.3 × the rest
+BOOSTING_NEG, BOOSTING_NB = "stream", 0.4  # demote docs containing 'stream'
+CS_BOOST, CS_K = 2.5, 25  # constant_score flat score / hit count
+
+
+def q_dis_max_top10(spark, sf_dir):
+    """dis_max (Lucene DisjunctionMaxQuery): per doc the BEST of two match
+    sub-queries wins, + tie_breaker × the other. All-lexical → the engine
+    fuses both sub-queries into ONE postings scan (query/dsl.py)."""
+    eng = _neural_engine(spark, sf_dir)
+    s = eng._score(
+        {"dis_max": {"queries": [
+            {"match": {"text": {"query": "spark stream"}}},
+            {"match": {"text": {"query": "customer vector batch"}}},
+        ], "tie_breaker": DM_TIE}},
+        None,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_boosting_top10(spark, sf_dir):
+    """boosting query (BoostingQueryBuilder): positive BM25 matches keep
+    their score, docs ALSO containing BOOSTING_NEG are demoted
+    × negative_boost — filter-context negative, score-context positive."""
+    eng = _neural_engine(spark, sf_dir)
+    s = eng._score(
+        {"boosting": {
+            "positive": {"match": {"text": {"query": Q_MATCH_TEXT}}},
+            "negative": {"term": {"text": {"value": BOOSTING_NEG}}},
+            "negative_boost": BOOSTING_NB,
+        }},
+        None,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_constant_score_hits(spark, sf_dir):
+    """constant_score (ConstantScoreQuery): a match query in filter
+    context — every matching doc scores exactly `boost`; ties rank by
+    doc_id asc, so the hit list is the first CS_K matching ids."""
+    eng = _neural_engine(spark, sf_dir)
+    s = eng._score(
+        {"constant_score": {"filter": {"match": {"text": {"query": "merge sort"}}},
+                            "boost": CS_BOOST}},
+        None,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", CS_K)
 
 
 def q_percolate_matches(spark, sf_dir):
@@ -2536,6 +2601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
         "function_score_top10": q_function_score_top10,
+        "dis_max_top10": q_dis_max_top10,
+        "boosting_top10": q_boosting_top10,
+        "constant_score_hits": q_constant_score_hits,
         "percolate_matches": q_percolate_matches,
         "percolate_stream_matches": q_percolate_stream_matches,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
@@ -2941,6 +3009,29 @@ def oracle_sql() -> dict[str, str]:
   select row_number() over (order by raw desc, doc_id asc)::BIGINT as rank,
          doc_id, round(raw, 6) as score
   from fs order by raw desc, doc_id asc limit {K}""",
+        "dis_max_top10": f"""
+  with {SQL_INDEX_CTES},
+  {_sql_bm25_raw(Q_HY_A, "dm_a")},
+  {_sql_bm25_raw(Q_HY_B, "dm_b")},
+  u as (select * from dm_a union all select * from dm_b),
+  agg as (select doc_id, max(score) as mx, sum(score) as sm from u group by 1),
+  scored as (select doc_id, round(mx + {DM_TIE} * (sm - mx), 6) as score from agg)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "boosting_top10": f"""
+  with {SQL_INDEX_CTES},
+  {_sql_bm25_raw(Q_BM25, "pos")},
+  neg as (select distinct doc_id from postings where term = '{BOOSTING_NEG}'),
+  scored as (
+    select p.doc_id,
+           round(case when n.doc_id is not null then p.score * {BOOSTING_NB}
+                      else p.score end, 6) as score
+    from pos p left join neg n on p.doc_id = n.doc_id)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "constant_score_hits": f"""
+  with {SQL_INDEX_CTES},
+  matched as (select distinct doc_id from postings where term in ('merge', 'sort')),
+  scored as (select doc_id, {CS_BOOST}::DOUBLE as score from matched)
+  {_sql_rank("scored", "score", "doc_id", CS_K)}""",
         "percolate_matches": f"""
   with toks as (select distinct doc_id, term from ({SQL_TOKS})),
   rules as (select * from (values

@@ -41,6 +41,11 @@ Supported query dicts::
     {"bool":         {"must": q | [q, ...], "should": [q, ...],
                       "must_not": [q, ...], "filter": [pred, ...],
                       "minimum_should_match": m}}   # Lucene BooleanQuery
+    {"dis_max":      {"queries": [q, ...], "tie_breaker": 0.0,
+                      "boost": 1.0}}   # best sub-score + tie_breaker × rest
+    {"boosting":     {"positive": q, "negative": q,
+                      "negative_boost": 0.5}}  # demote negative matches
+    {"constant_score": {"filter": q, "boost": 1.0}}  # filter context
     {"ids":          {"values": [docID, ...]}}     # constant-score membership
     {"exists":       {"field": column}}            # non-null field
     {"range":        {FIELD: {"gte"/"gt"/"lte"/"lt": v, "boost": b}}}
@@ -485,6 +490,88 @@ class QueryEngine:
                 include=bool(body.get("include", False)),
                 boost=float(body.get("boost", 1.0)),
                 prefilter=prefilter,
+            )
+
+        if kind == "constant_score":
+            # Lucene ConstantScoreQuery: wrap any query in filter context —
+            # every matching doc scores exactly `boost`, regardless of the
+            # inner query's scores (OpenSearch ConstantScoreQueryBuilder)
+            if "filter" not in body:
+                raise QueryValidationError("constant_score needs a 'filter' query")
+            boost = float(body.get("boost", 1.0))
+            inner = self._score(body["filter"], prefilter, in_hybrid=in_hybrid, k=k)
+            return inner.select("docID").distinct().withColumn(
+                "score", F.lit(boost)
+            )
+
+        if kind == "dis_max":
+            # Lucene DisjunctionMaxQuery: per doc, the BEST sub-query score
+            # wins, plus tie_breaker × (sum of the others) — the classic
+            # multi-field "pick the best field" combiner.
+            # {"dis_max": {"queries": [q, ...], "tie_breaker": 0.0,
+            #              "boost": 1.0}}
+            subs = body.get("queries")
+            if not isinstance(subs, list) or not subs:
+                raise QueryValidationError("dis_max needs a non-empty 'queries' list")
+            tie = float(body.get("tie_breaker", 0.0))
+            if not 0.0 <= tie <= 1.0:
+                raise QueryValidationError(
+                    f"tie_breaker must be in [0, 1], got {tie}"
+                )
+            boost = float(body.get("boost", 1.0))
+            weights = [self._lexical_weights(q) for q in subs]
+            if prefilter is None and len(subs) >= 2 and all(w is not None for w in weights):
+                # all-lexical disjunction: ONE fused postings scan scores
+                # every sub-query (same path as hybrid) instead of n scans
+                union = hybrid_mod.fused_bm25_subquery_scores(
+                    self.tables, weights
+                ).select("docID", "score")
+            else:
+                frames = [
+                    self._score(q, prefilter, in_hybrid=in_hybrid, k=k)
+                    for q in subs
+                ]
+                union = frames[0]
+                for fdf_ in frames[1:]:
+                    union = union.unionByName(fdf_)
+            # each sub-query contributes ≤1 row per doc, so max/sum per
+            # docID is exactly DisjunctionMaxQuery's combiner; one shuffle
+            agg = union.groupBy("docID").agg(
+                F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+            )
+            return agg.select(
+                "docID",
+                (
+                    (F.col("_mx") + F.lit(tie) * (F.col("_sm") - F.col("_mx")))
+                    * F.lit(boost)
+                ).alias("score"),
+            )
+
+        if kind == "boosting":
+            # Lucene BoostingQuery (OpenSearch BoostingQueryBuilder):
+            # positive matches keep their score; docs ALSO matching the
+            # negative query are demoted by × negative_boost. The negative
+            # query is filter context — only its match SET matters.
+            if "positive" not in body or "negative" not in body:
+                raise QueryValidationError(
+                    "boosting needs 'positive' and 'negative' queries"
+                )
+            nb = float(body.get("negative_boost", 0.5))
+            if nb < 0:
+                raise QueryValidationError("negative_boost must be >= 0")
+            pos = self._score(body["positive"], prefilter, in_hybrid=in_hybrid, k=k)
+            neg = (
+                self._score(body["negative"], None, in_hybrid=in_hybrid, k=k)
+                .select("docID")
+                .distinct()
+                .withColumn("_neg", F.lit(True))
+            )
+            j = pos.join(neg, "docID", "left")
+            return j.select(
+                "docID",
+                F.when(F.col("_neg").isNotNull(), F.col("score") * F.lit(nb))
+                .otherwise(F.col("score"))
+                .alias("score"),
             )
 
         if kind == "term":
