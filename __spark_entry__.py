@@ -46,6 +46,7 @@ BOOL_NOT = [{"dup": 1.0}]
 PREFIX_VALUE = "s"  # scoring_boolean expansion: scan slow small sort spark stream
 WILDCARD_VALUE, WILDCARD_BOOST = "s*a*", 1.5  # LIKE 's%a%'
 FUZZY_VALUE, FUZZY_MAXD = "port", 1  # Levenshtein ≤1: part, sort
+REGEXP_VALUE, REGEXP_BOOST = "s(o|pa)r[tk]", 1.25  # anchored: sort, spark
 SUGGEST_VALUE = "sart"  # → sort(d1), then d2 ties {scan, spark} ranked by df
 K = 10
 CHUNK_LIMIT, CHUNK_OVERLAP = 20, 0.25  # step 15
@@ -562,6 +563,18 @@ def q_fuzzy_top10(spark, sf_dir):
     s = multiterm.multiterm_score_all(
         t.postings, t.doclens, t.term_stats, t.meta,
         "fuzzy", FUZZY_VALUE, fuzziness=FUZZY_MAXD,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_regexp_top10(spark, sf_dir):
+    """regexp query (Lucene RegexpQuery), constant_score rewrite: the
+    anchored pattern expands over the term DICTIONARY (with its literal
+    prefix pushed into the dictionary scan), matched docs score boost."""
+    t = _index(spark, sf_dir)
+    s = multiterm.multiterm_score_all(
+        t.postings, t.doclens, t.term_stats, t.meta,
+        "regexp", REGEXP_VALUE, boost=REGEXP_BOOST,
     )
     return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
@@ -2550,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_scoring_top10": q_prefix_scoring_top10,
         "wildcard_top10": q_wildcard_top10,
         "fuzzy_top10": q_fuzzy_top10,
+        "regexp_top10": q_regexp_top10,
         "term_suggest": q_term_suggest,
         "sparse_linear_top10": q_sparse_linear_top10,
         "two_phase_sparse_top10": q_two_phase_sparse_top10,
@@ -2746,6 +2760,11 @@ def oracle_sql() -> dict[str, str]:
   mt as (select term from stats where levenshtein(term, '{FUZZY_VALUE}') <= {FUZZY_MAXD}),
   matched as (select distinct p.doc_id from postings p join mt on p.term = mt.term),
   scored as (select doc_id, 1.0::DOUBLE as score from matched)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "regexp_top10": f"""with {SQL_INDEX_CTES},
+  mt as (select term from stats where regexp_full_match(term, '{REGEXP_VALUE}')),
+  matched as (select distinct p.doc_id from postings p join mt on p.term = mt.term),
+  scored as (select doc_id, {REGEXP_BOOST}::DOUBLE as score from matched)
   {_sql_rank("scored", "score", "doc_id", K)}""",
         "term_suggest": f"""with {SQL_INDEX_CTES},
   cand as (

@@ -25,6 +25,8 @@ Supported query dicts::
     {"wildcard":     {FIELD: {"value": "pa*er?", "boost": 1.0, "rewrite": ...}}}
     {"fuzzy":        {FIELD: {"value": "tokn", "fuzziness": "AUTO" | 0 | 1 | 2,
                               "prefix_length": 0, "boost": 1.0, "rewrite": ...}}}
+    {"regexp":       {FIELD: {"value": "s(o|pa)r[tk]", "boost": 1.0,
+                              "rewrite": ...}}}  # anchored over the term
     {"neural_sparse": {FIELD: {"query_tokens": {tok: w}, "boost": 1.0,
                               "two_phase": {"prune_ratio": 0.4,
                                             "expansion_rate": 5.0,
@@ -311,7 +313,7 @@ class QueryEngine:
                 clause_counts={t: int(m) for t, m in terms.items()} if msm > 1 else None,
             )
 
-        if kind in ("prefix", "wildcard", "fuzzy"):
+        if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
             field, spec = _single_field(body, kind)
             return multiterm_score_all(
                 self.tables.postings, self.tables.doclens, self.tables.term_stats,

@@ -1,4 +1,5 @@
-"""Multi-term queries — prefix / wildcard / fuzzy — over the term dictionary.
+"""Multi-term queries — prefix / wildcard / fuzzy / regexp — over the term
+dictionary.
 
 The reference plugin composes with OpenSearch core's lexical query surface
 (its hybrid sub-queries accept any core query; HybridQueryBuilder.java
@@ -19,7 +20,10 @@ expects Lucene's MultiTermQuery family to work. Semantics follow Lucene:
   transposition-counting default; Spark and DuckDB both ship classic
   Levenshtein, so the oracle and the engine agree exactly);
 - ``fuzziness="AUTO"`` follows OpenSearch: query length 0-2 → 0 edits,
-  3-5 → 1, ≥6 → 2.
+  3-5 → 1, ≥6 → 2;
+- ``regexp`` anchors the pattern over the whole term (Lucene RegexpQuery);
+  syntax is Java regex (Spark ``rlike``), not Lucene's own dialect — the
+  common operator subset agrees, ``~``/``&``/``<n-m>`` are not offered.
 
 Scale shape (100 TB): expansion is a filter over the term dictionary —
 ``startswith`` and length bounds push into the dictionary scan
@@ -79,6 +83,36 @@ def literal_prefix(pattern: str) -> str:
     return "".join(out)
 
 
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex pattern (pushdown handle).
+
+    Conservative: stops at the first metachar, class shorthand, or
+    alternation; a char immediately followed by a quantifier is excluded
+    (in ``abc*`` only ``ab`` is guaranteed). Escaped punctuation
+    (``\\.``) counts as literal.
+    """
+    meta = set(".?*+|(){}[]^$")
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= len(pattern) or pattern[i + 1].isalnum():
+                break  # class shorthand (\d, \w, …) or dangling escape
+            if i + 2 < len(pattern) and pattern[i + 2] in "?*+{":
+                break
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        if c in meta:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "?*+{":
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def auto_fuzziness(value: str) -> int:
     n = len(value)
     return 0 if n <= 2 else (1 if n <= 5 else 2)
@@ -103,6 +137,15 @@ def term_conditions(
         lit = literal_prefix(value)
         pushable = term.startswith(lit) if lit else None
         return pushable, term.rlike(wildcard_to_regex(value))
+    if kind == "regexp":
+        # Lucene RegexpQuery matches the ENTIRE term — anchor the pattern.
+        # Divergence note: we accept Java regex syntax (Spark rlike), not
+        # Lucene's own regexp dialect (no ~ complement / & intersection /
+        # <n-m> intervals); the common operator subset (literals, classes,
+        # alternation, quantifiers) behaves identically.
+        lit = regex_literal_prefix(value)
+        pushable = term.startswith(lit) if lit else None
+        return pushable, term.rlike("^(?:" + value + ")$")
     if kind == "fuzzy":
         f = auto_fuzziness(value) if fuzziness in (None, "AUTO") else int(fuzziness)
         conds = [F.length(term).between(len(value) - f, len(value) + f)]

@@ -14,6 +14,7 @@ from neural_search_spark.query.multiterm import (
     auto_fuzziness,
     literal_prefix,
     multiterm_score_all,
+    regex_literal_prefix,
     wildcard_to_regex,
 )
 
@@ -38,6 +39,18 @@ def test_literal_prefix():
     assert literal_prefix("abc*def") == "abc"
     assert literal_prefix("*abc") == ""
     assert literal_prefix("ab?c") == "ab"
+
+
+def test_regex_literal_prefix():
+    assert regex_literal_prefix("dat.*") == "dat"
+    assert regex_literal_prefix("abc") == "abc"
+    assert regex_literal_prefix("s(o|pa)r[tk]") == "s"
+    assert regex_literal_prefix("ab?c") == "a"  # quantified char excluded
+    assert regex_literal_prefix("ab*") == "a"
+    assert regex_literal_prefix("[sd]ort") == ""
+    assert regex_literal_prefix(r"a\.b") == "a.b"  # escaped punct is literal
+    assert regex_literal_prefix(r"a\db") == "a"  # class shorthand stops it
+    assert regex_literal_prefix(r"a\.?b") == "a"  # quantified escape stops
 
 
 def test_auto_fuzziness_bands():
@@ -73,6 +86,9 @@ def _expand_py(docs: dict[int, str], kind: str, value: str, fuzz=None, plen=0) -
     if kind == "wildcard":
         rx = re.compile(wildcard_to_regex(value)[1:-1])
         return {t for t in vocab if rx.fullmatch(t)}
+    if kind == "regexp":
+        rx = re.compile("(?:" + value + ")")
+        return {t for t in vocab if rx.fullmatch(t)}
     f = auto_fuzziness(value) if fuzz in (None, "AUTO") else int(fuzz)
     out = {t for t in vocab if _lev(t, value) <= f}
     if plen:
@@ -100,6 +116,8 @@ def _collect_scores(df) -> dict[int, float]:
         ("fuzzy", "span", {"fuzziness": 1}),
         ("fuzzy", "dat", {"fuzziness": "AUTO"}),  # AUTO(3)=1 → data
         ("fuzzy", "stack", {"fuzziness": 2, "prefix_length": 2}),
+        ("regexp", "s(o|pa)r[tk]", {}),  # sort | spark
+        ("regexp", "dat.*", {}),  # literal prefix 'dat' pushes into the scan
     ],
 )
 def test_constant_score_matches_python_expansion(
@@ -234,6 +252,8 @@ def test_dsl_multiterm_kinds(engine, transcripts):
         ({"wildcard": {"text": {"value": "s*an"}}}, "wildcard", "s*an", {}),
         ({"fuzzy": {"text": {"value": "dat", "fuzziness": 1}}}, "fuzzy", "dat",
          {"fuzziness": 1}),
+        ({"regexp": {"text": {"value": "s(o|pa)r[tk]", "boost": 1.5}}},
+         "regexp", "s(o|pa)r[tk]", {}),
     ]:
         terms = _expand_py(docs, kind, value, kw.get("fuzziness"))
         boost = q[kind]["text"].get("boost", 1.0)
