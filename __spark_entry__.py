@@ -47,6 +47,8 @@ PREFIX_VALUE = "s"  # scoring_boolean expansion: scan slow small sort spark stre
 WILDCARD_VALUE, WILDCARD_BOOST = "s*a*", 1.5  # LIKE 's%a%'
 FUZZY_VALUE, FUZZY_MAXD = "port", 1  # Levenshtein ≤1: part, sort
 REGEXP_VALUE, REGEXP_BOOST = "s(o|pa)r[tk]", 1.25  # anchored: sort, spark
+TS_TERMS = ["merge", "sort", "spark", "vector"]  # terms_set candidates
+TS_MSM_MOD = 3  # per-doc required matches = doc_id % 3 + 1
 SUGGEST_VALUE = "sart"  # → sort(d1), then d2 ties {scan, spark} ranked by df
 K = 10
 CHUNK_LIMIT, CHUNK_OVERLAP = 20, 0.25  # step 15
@@ -563,6 +565,26 @@ def q_fuzzy_top10(spark, sf_dir):
     s = multiterm.multiterm_score_all(
         t.postings, t.doclens, t.term_stats, t.meta,
         "fuzzy", FUZZY_VALUE, fuzziness=FUZZY_MAXD,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_terms_set_top10(spark, sf_dir):
+    """terms_set query (Lucene CoveringQuery): per-doc minimum_should_match
+    from a field (derived here: doc_id % 3 + 1); a doc survives iff it
+    contains ≥ that many of the query terms, scored Σ BM25 of the matched
+    terms. The threshold rides the same map-side-combinable aggregation
+    that sums the score (query/bm25.py min_match_per_doc)."""
+    from neural_search_spark.query.dsl import QueryEngine
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "req_m", (F.col("doc_id") % TS_MSM_MOD + 1).cast("int")
+    )
+    eng = QueryEngine(tables=_index(spark, sf_dir), docs=docs, id_col="doc_id")
+    s = eng._score(
+        {"terms_set": {"text": {"terms": TS_TERMS,
+                                "minimum_should_match_field": "req_m"}}},
+        None,
     )
     return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
@@ -2564,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_top10": q_wildcard_top10,
         "fuzzy_top10": q_fuzzy_top10,
         "regexp_top10": q_regexp_top10,
+        "terms_set_top10": q_terms_set_top10,
         "term_suggest": q_term_suggest,
         "sparse_linear_top10": q_sparse_linear_top10,
         "two_phase_sparse_top10": q_two_phase_sparse_top10,
@@ -2760,6 +2783,22 @@ def oracle_sql() -> dict[str, str]:
   mt as (select term from stats where levenshtein(term, '{FUZZY_VALUE}') <= {FUZZY_MAXD}),
   matched as (select distinct p.doc_id from postings p join mt on p.term = mt.term),
   scored as (select doc_id, 1.0::DOUBLE as score from matched)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "terms_set_top10": f"""with {SQL_INDEX_CTES},
+  q as (select * from (values {", ".join(f"('{t}')" for t in sorted(set(TS_TERMS)))}) as t(term)),
+  matched as (
+    select p.doc_id, count(*) as n_matched,
+           sum(ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))
+               * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl))) as raw
+    from postings p
+    join q on p.term = q.term
+    join stats s on p.term = s.term
+    join doclens d on p.doc_id = d.doc_id
+    cross join meta m
+    group by 1
+  ),
+  scored as (select doc_id, round(raw, 6) as score from matched
+             where n_matched >= greatest((doc_id % {TS_MSM_MOD}) + 1, 1))
   {_sql_rank("scored", "score", "doc_id", K)}""",
         "regexp_top10": f"""with {SQL_INDEX_CTES},
   mt as (select term from stats where regexp_full_match(term, '{REGEXP_VALUE}')),

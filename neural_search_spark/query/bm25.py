@@ -71,6 +71,7 @@ def bm25_score_all(
     min_should_match: int = 0,
     clause_counts: dict[str, int] | None = None,
     exclude: DataFrame | None = None,
+    min_match_per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """All matching docs with exact BM25 scores: (docID, score).
 
@@ -91,6 +92,13 @@ def bm25_score_all(
     (term → clause multiplicity, default 1). The threshold is enforced in
     the same map-side-combinable aggregation that sums the score — no
     extra pass or shuffle.
+
+    `min_match_per_doc` is a (docID, min_match) frame giving a PER-DOC
+    should-clause threshold — Lucene CoveringQuery's LongValuesSource
+    (the terms_set query): a doc survives iff its matched-clause count ≥
+    greatest(its min_match, 1). NULL/absent min_match behaves as 1. One
+    docID-keyed join against the (query-bounded) matched-docs frame; the
+    threshold check rides the same aggregation output, no extra pass.
 
     `lucene_norms=True` quantizes dl with Lucene's SmallFloat int4 scheme
     (1-byte norms) for rank-identity with a real Lucene BM25; the default
@@ -144,6 +152,18 @@ def bm25_score_all(
     )
     if min_should_match > 1:
         scores = scores.where(F.col("_matched_clauses") >= F.lit(min_should_match))
+    if min_match_per_doc is not None:
+        thresholds = min_match_per_doc.select(
+            "docID", F.col("min_match").cast("long").alias("_min_match")
+        )
+        scores = (
+            scores.join(thresholds, "docID", "left")
+            .where(
+                F.col("_matched_clauses")
+                >= F.greatest(F.coalesce(F.col("_min_match"), F.lit(1)), F.lit(1))
+            )
+            .drop("_min_match")
+        )
     return scores.drop("_matched_clauses")
 
 

@@ -43,6 +43,9 @@ Supported query dicts::
     {"bool":         {"must": q | [q, ...], "should": [q, ...],
                       "must_not": [q, ...], "filter": [pred, ...],
                       "minimum_should_match": m}}   # Lucene BooleanQuery
+    {"terms_set":    {FIELD: {"terms": [t, ...],
+                      "minimum_should_match_field": col |
+                      "minimum_should_match": n}}}  # CoveringQuery
     {"dis_max":      {"queries": [q, ...], "tie_breaker": 0.0,
                       "boost": 1.0}}   # best sub-score + tie_breaker × rest
     {"boosting":     {"positive": q, "negative": q,
@@ -492,6 +495,47 @@ class QueryEngine:
                 include=bool(body.get("include", False)),
                 boost=float(body.get("boost", 1.0)),
                 prefilter=prefilter,
+            )
+
+        if kind == "terms_set":
+            # OpenSearch TermsSetQueryBuilder → Lucene CoveringQuery: a doc
+            # matches iff it contains ≥ msm(doc) of the query terms, where
+            # msm comes from a PER-DOC field (minimum_should_match_field)
+            # or a constant (minimum_should_match); score = Σ BM25 of the
+            # matched terms (CoveringQuery sums its matching sub-scorers).
+            # msm > |terms| can never match; NULL/≤0 msm behaves as 1.
+            field, spec = _single_field(body, "terms_set")
+            ts_terms = spec.get("terms")
+            if not isinstance(ts_terms, (list, tuple)) or not ts_terms:
+                raise QueryValidationError("terms_set needs a non-empty 'terms' list")
+            boost = float(spec.get("boost", 1.0))
+            msm_field = spec.get("minimum_should_match_field")
+            msm_const = spec.get("minimum_should_match")
+            if (msm_field is None) == (msm_const is None):
+                raise QueryValidationError(
+                    "terms_set needs exactly one of minimum_should_match_field "
+                    "or minimum_should_match"
+                )
+            weights = {str(t): boost for t in ts_terms}
+            if msm_field is not None:
+                if msm_field not in self.docs.columns:
+                    raise QueryValidationError(
+                        f"unknown minimum_should_match_field {msm_field!r}; "
+                        f"available: {sorted(self.docs.columns)}"
+                    )
+                per_doc = self.docs.select(
+                    F.col(self.id_col).alias("docID"),
+                    F.col(msm_field).alias("min_match"),
+                )
+                return bm25_score_all(
+                    self.tables.postings, self.tables.doclens,
+                    self.tables.term_stats, self.tables.meta, weights,
+                    prefilter=prefilter, min_match_per_doc=per_doc,
+                )
+            return bm25_score_all(
+                self.tables.postings, self.tables.doclens,
+                self.tables.term_stats, self.tables.meta, weights,
+                prefilter=prefilter, min_should_match=max(int(msm_const), 1),
             )
 
         if kind == "constant_score":
