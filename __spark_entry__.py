@@ -71,6 +71,9 @@ EMB_DUP_PLANES = 16
 IVF_CLUSTERS, IVF_NPROBE = 16, 4
 EVENT_CURSOR_TS = "2024-01-01 12:00:00"
 PHRASE_TERMS = ["table", "part"]  # exact-adjacency phrase, ~30 docs at sf0.01
+# match_phrase_prefix: "table s…" — prefix 's' expands term-asc, truncated
+# at PP_MAXEXP (scan slow small sort; spark/stream cut by the limit)
+PP_FIXED, PP_PREFIX, PP_MAXEXP = ["table"], "s", 4
 # span-near proximity: same pair with slop=2 in-order (~70 docs) + an
 # unordered pair (~129 docs) — supersets of the exact phrase's match set
 SPAN_TERMS, SPAN_SLOP = ["table", "part"], 2
@@ -1598,6 +1601,45 @@ def _oracle_phrase(terms: list[str], k: int = K) -> str:
     {_sql_rank("scored", "score", "doc_id", k)}"""
 
 
+def _oracle_phrase_prefix(fixed: list[str], prefix: str, max_exp: int, k: int = K) -> str:
+    """match_phrase_prefix mirror: last slot = any of the first max_exp
+    dictionary terms with the prefix (term asc); idf = Σ over fixed
+    positions + Σ over expansions (MultiPhraseQuery)."""
+    q = len(fixed) + 1
+    fixed_offs = ", ".join(f"('{t}', {i})" for i, t in enumerate(fixed))
+    fixed_vals = ", ".join(f"('{t}')" for t in fixed)
+    return f"""
+    with {SQL_INDEX_CTES},
+    tokarr as ({SQL_TOKARR}),
+    tokpos as (select doc_id, unnest(toks) as term, unnest(range(len(toks))) as pos
+               from tokarr),
+    exp as (select term from stats where term like '{prefix}%'
+            order by term limit {max_exp}),
+    offs as (select * from (values {fixed_offs}) as t(term, os)),
+    bases as (
+      select tp.doc_id, tp.pos - o.os as base, o.os
+      from tokpos tp join offs o using(term)
+      where tp.pos - o.os >= 0
+      union all
+      select tp.doc_id, tp.pos - {q - 1} as base, {q - 1} as os
+      from tokpos tp join exp e using(term)
+      where tp.pos - {q - 1} >= 0
+    ),
+    occ as (select doc_id, base from bases group by doc_id, base
+            having count(distinct os) = {q}),
+    ptf as (select doc_id, count(*)::BIGINT as ptf from occ group by doc_id),
+    sidf as (select sum(ln(1 + (m.n - s.df + 0.5) / (s.df + 0.5))) as sidf
+             from (select term from (values {fixed_vals}) t(term)
+                   union all select term from exp) qq
+             join stats s using(term) cross join meta m),
+    scored as (select p.doc_id,
+                      round(sidf.sidf * p.ptf
+                            / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / m.avgdl)), 6) as score
+               from ptf p join doclens d using(doc_id)
+               cross join meta m cross join sidf)
+    {_sql_rank("scored", "score", "doc_id", k)}"""
+
+
 def _oracle_span_near(terms: list[str], slop: int, in_order: bool, k: int = K) -> str:
     """Two-term span-near BM25 (mirror of query/phrase.py span_near_*):
     anchors are distinct first-term positions (in-order) / window-min
@@ -2440,6 +2482,21 @@ def q_phrase_top10(spark, sf_dir):
     return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
+def q_phrase_prefix_top10(spark, sf_dir):
+    """match_phrase_prefix top-10 (Lucene MultiPhraseQuery after the prefix
+    rewrite): fixed terms followed by any of the first PP_MAXEXP dictionary
+    terms matching the prefix (term-asc, Lucene's TermsEnum order); idf
+    sums one addend per fixed position + one per expansion."""
+    from neural_search_spark.query.phrase import phrase_prefix_scores
+
+    idx = _index(spark, sf_dir)
+    scored = phrase_prefix_scores(
+        _positional(spark, sf_dir), idx.term_stats, idx.meta,
+        PP_FIXED + [PP_PREFIX], max_expansions=PP_MAXEXP,
+    )
+    return _ranked(scored.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
 def q_span_near_top10(spark, sf_dir):
     """In-order span-near top-10 (SpanNearQuery shape): SPAN_TERMS within
     SPAN_SLOP, scored as a phrase pseudo-term with tf = proximity freq."""
@@ -2562,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_meta": q_collection_meta,
         "positional_postings": q_positional_postings,
         "phrase_top10": q_phrase_top10,
+        "phrase_prefix_top10": q_phrase_prefix_top10,
         "span_near_top10": q_span_near_top10,
         "span_unordered_top10": q_span_unordered_top10,
         "synonym_top10": q_synonym_top10,
@@ -2686,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
     from (select doc_id, unnest(toks) as term, unnest(range(len(toks))) as pos
           from ({SQL_TOKARR}))""",
         "phrase_top10": _oracle_phrase(PHRASE_TERMS, K),
+        "phrase_prefix_top10": _oracle_phrase_prefix(PP_FIXED, PP_PREFIX, PP_MAXEXP, K),
         "span_near_top10": _oracle_span_near(SPAN_TERMS, SPAN_SLOP, True, K),
         "span_unordered_top10": _oracle_span_near(SPAN_U_TERMS, SPAN_U_SLOP, False, K),
         "synonym_top10": _oracle_synonym(SYN_GROUPS, SYN_BOOSTS, K),

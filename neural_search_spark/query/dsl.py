@@ -9,6 +9,8 @@ Supported query dicts::
                               "minimum_should_match": 2}}}   # optional
     {"match_phrase": {FIELD: {"query": "exact phrase", "boost": 1.0,
                               "slop": 0}}}  # slop>0 → in-order span match
+    {"match_phrase_prefix": {FIELD: {"query": "phrase pre", "boost": 1.0,
+                              "max_expansions": 50}}}  # last term = prefix
     {"span_near":    {"field": FIELD, "terms": [t, ...], "slop": 0,
                       "in_order": True, "boost": 1.0}}  # SpanNearQuery
     {"term":         {FIELD: {"value": "token", "boost": 1.0}}}
@@ -354,6 +356,30 @@ class QueryEngine:
             return phrase_scores(
                 self.positional, self.tables.term_stats, self.tables.meta,
                 terms, boost=boost, prefilter=prefilter,
+            )
+
+        if kind == "match_phrase_prefix":
+            # {"match_phrase_prefix": {FIELD: {"query": "...", "boost": 1.0,
+            #                                  "max_expansions": 50}}}
+            # last analyzed token is a prefix (MultiPhraseQuery rewrite)
+            field, spec = _single_field(body, "match_phrase_prefix")
+            boost = float(spec.get("boost", 1.0))
+            max_exp = int(spec.get("max_expansions", 50))
+            terms = tokenize_py(spec["query"])
+            if not terms:
+                return self.docs.sparkSession.createDataFrame([], "docID long, score double")
+            if self.positional is None:
+                raise QueryValidationError(
+                    "match_phrase_prefix requires a positional index — construct "
+                    "the engine with positional=build_positional_postings(docs)"
+                )
+            from neural_search_spark.query.phrase import phrase_prefix_scores
+
+            if max_exp < 1:
+                raise QueryValidationError("max_expansions must be >= 1")
+            return phrase_prefix_scores(
+                self.positional, self.tables.term_stats, self.tables.meta,
+                terms, max_expansions=max_exp, boost=boost, prefilter=prefilter,
             )
 
         if kind == "span_near":

@@ -239,6 +239,96 @@ def phrase_scores(
     )
 
 
+# expansion pseudo-term for match_phrase_prefix: \x00 cannot appear in any
+# analyzed token, so the substituted rows can never collide with a real term
+_PREFIX_PSEUDO = "\x00prefix"
+
+MAX_EXPANSIONS = 50  # OpenSearch match_phrase_prefix default
+
+
+def phrase_prefix_scores(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    meta: DataFrame,
+    terms: list[str],
+    max_expansions: int = MAX_EXPANSIONS,
+    boost: float = 1.0,
+    k1: float = K1,
+    b: float = B,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """match_phrase_prefix (Lucene MultiPhraseQuery after the prefix
+    rewrite): the LAST term is a prefix, expanded over the term dictionary
+    to the first `max_expansions` matching terms in term-asc order (Lucene
+    collects expansions in TermsEnum order and stops); the phrase matches
+    where the fixed terms are followed by ANY expansion at the last slot.
+
+    Relationally: expansion-term position rows are re-labeled to one
+    pseudo-term and unioned with the fixed terms' rows, then the ordinary
+    rebased-offset phrase match runs unchanged — no per-expansion pass.
+    Scoring follows MultiPhraseQuery under BM25: tf = phrase frequency,
+    idf = Σ idf over every involved term — one addend per FIXED position
+    plus one per EXPANSION (MultiPhraseWeight feeds all TermStatistics to
+    the similarity), no (k1+1) numerator.
+
+    Scale shape: the dictionary expansion is a prefix-pushed scan +
+    limit(max_expansions) collect (bounded ≤ max_expansions rows); the
+    postings scan carries an IN-list of fixed ∪ expansions (≤ q + 50
+    terms); everything else is the exact-phrase plan.
+    """
+    if not terms:
+        raise ValueError("match_phrase_prefix needs at least one term")
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    spark = positional.sparkSession
+    empty = spark.createDataFrame([], "docID long, score double")
+    fixed, last = terms[:-1], terms[-1]
+    exp_rows = (
+        term_stats.where(F.col("term").startswith(last))
+        .select("term", "df")
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    if not exp_rows:
+        return empty
+    expansions = [r["term"] for r in exp_rows]
+    m = meta.first()
+    n_docs, avgdl = m["N"], float(m["avgdl"])
+    uniq_fixed = sorted(set(fixed))
+    dfs = {
+        r["term"]: r["df"]
+        for r in term_stats.where(F.col("term").isin(uniq_fixed))
+        .select("term", "df")
+        .collect()
+    }
+    if any(t not in dfs for t in fixed):
+        return empty
+
+    def _idf(df_: int) -> float:
+        return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+    sum_idf = sum(_idf(dfs[t]) for t in fixed) + sum(_idf(r["df"]) for r in exp_rows)
+
+    exp_pos = positional.where(F.col("term").isin(expansions)).withColumn(
+        "term", F.lit(_PREFIX_PSEUDO)
+    )
+    if fixed:
+        pos_union = positional.where(F.col("term").isin(uniq_fixed)).unionByName(
+            exp_pos
+        )
+    else:
+        pos_union = exp_pos
+    match = phrase_match(pos_union, fixed + [_PREFIX_PSEUDO], prefilter=prefilter)
+    return match.select(
+        "docID",
+        (
+            F.lit(float(boost) * sum_idf)
+            * bm25_score_col(F.col("ptf").cast("double"), F.col("dl"), F.lit(avgdl), k1, b)
+        ).alias("score"),
+    )
+
+
 def span_near_match(
     positional: DataFrame,
     terms: list[str],

@@ -262,3 +262,117 @@ def test_dsl_span_near_and_sloppy_match_phrase(docs, positional):
     eng2 = QueryEngine(tables=tabs, docs=docs)
     with pytest.raises(QueryValidationError):
         eng2.search({"span_near": {"field": "text", "terms": ["a", "c"], "slop": 1}})
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix (MultiPhraseQuery prefix rewrite)
+# ---------------------------------------------------------------------------
+
+PP_DOCS = [
+    (0, "new york city"),
+    (1, "the new yorker magazine"),
+    (2, "old york city"),
+    (3, "new yank none"),
+    (4, "brand new yospace"),
+]
+
+
+@pytest.fixture(scope="module")
+def pp_docs(spark):
+    return spark.createDataFrame(PP_DOCS, "docID long, text string").persist()
+
+
+@pytest.fixture(scope="module")
+def pp_positional(pp_docs):
+    return build_positional_postings(pp_docs).persist()
+
+
+def test_phrase_prefix_match_and_truncation(pp_docs, pp_positional):
+    from neural_search_spark.query.phrase import phrase_prefix_scores
+
+    tabs = build_index_tables(pp_docs)
+    # "new yor" → fixed=[new], expansions(yor*) = {york, yorker} term-asc
+    got = {
+        r.docID
+        for r in phrase_prefix_scores(
+            pp_positional, tabs.term_stats, tabs.meta, ["new", "yor"]
+        ).collect()
+    }
+    assert got == {0, 1}
+    # max_expansions=1 keeps only the FIRST dictionary term ('york')
+    got1 = {
+        r.docID
+        for r in phrase_prefix_scores(
+            pp_positional, tabs.term_stats, tabs.meta, ["new", "yor"], max_expansions=1
+        ).collect()
+    }
+    assert got1 == {0}
+    # no dictionary term matches the prefix → empty
+    assert (
+        phrase_prefix_scores(
+            pp_positional, tabs.term_stats, tabs.meta, ["new", "zzz"]
+        ).count()
+        == 0
+    )
+    # unindexed FIXED term → empty
+    assert (
+        phrase_prefix_scores(
+            pp_positional, tabs.term_stats, tabs.meta, ["zzz", "yor"]
+        ).count()
+        == 0
+    )
+    # single-token query = pure prefix, scored as 1-slot multi-phrase
+    solo = {
+        r.docID
+        for r in phrase_prefix_scores(
+            pp_positional, tabs.term_stats, tabs.meta, ["yor"]
+        ).collect()
+    }
+    assert solo == {0, 1, 2}
+
+
+def test_phrase_prefix_scores_hand_oracle(pp_docs, pp_positional):
+    from neural_search_spark.query.phrase import phrase_prefix_scores
+
+    tabs = build_index_tables(pp_docs)
+    got = {
+        r.docID: r.score
+        for r in phrase_prefix_scores(
+            pp_positional, tabs.term_stats, tabs.meta, ["new", "yor"]
+        ).collect()
+    }
+    n, avgdl = 5, (3 + 4 + 3 + 3 + 3) / 5
+    idf = lambda d: math.log(1 + (n - d + 0.5) / (d + 0.5))  # noqa: E731
+    # MultiPhraseQuery idf: one addend per fixed position + one per EXPANSION
+    s_idf = idf(4) + idf(2) + idf(1)  # df(new)=4, df(york)=2, df(yorker)=1
+
+    def score(ptf, dl):
+        return s_idf * ptf / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert set(got) == {0, 1}
+    assert got[0] == pytest.approx(score(1, 3), abs=1e-12)
+    assert got[1] == pytest.approx(score(1, 4), abs=1e-12)
+
+
+def test_dsl_match_phrase_prefix(pp_docs, pp_positional):
+    from neural_search_spark.query.phrase import phrase_prefix_scores
+
+    tabs = build_index_tables(pp_docs)
+    eng = QueryEngine(tables=tabs, docs=pp_docs, positional=pp_positional)
+    r = eng.search(
+        {"match_phrase_prefix": {"text": {"query": "new yor"}}}, k=5
+    ).collect()
+    direct = {
+        x.docID: x.score
+        for x in phrase_prefix_scores(
+            pp_positional, tabs.term_stats, tabs.meta, ["new", "yor"]
+        ).collect()
+    }
+    assert {x.docID: x.score for x in r} == direct
+    # no positional index → validation error
+    eng2 = QueryEngine(tables=tabs, docs=pp_docs)
+    with pytest.raises(QueryValidationError):
+        eng2.search({"match_phrase_prefix": {"text": {"query": "new yor"}}})
+    with pytest.raises(QueryValidationError):
+        eng.search({"match_phrase_prefix": {"text": {"query": "new yor",
+                                                     "max_expansions": 0}}})
