@@ -1105,6 +1105,66 @@ def q_query_with_aggs(spark, sf_dir):
     return aggs["by_lang"]
 
 
+def q_query_histogram_agg(spark, sf_dir):
+    """Numeric histogram agg over the match set (interval 50, gap-filled
+    min_doc_count=0 buckets between the observed bounds — a generated
+    bucket-index sequence, no driver loop)."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"h": {"histogram": {"field": "n_chars", "interval": 50,
+                             "min_doc_count": 0}}},
+        k=K,
+    )
+    return aggs["h"].select(F.col("key").cast("double").alias("key"), "doc_count")
+
+
+def q_query_filters_agg(spark, sf_dir):
+    """Named filter buckets in ONE conditional-count pass over the match
+    set (stack() unpivot, no per-bucket scan)."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"kinds": {"filters": {"filters": {
+            "short": {"range": {"column": "n_chars", "lt": 150}},
+            "en": {"eq": ["lang", "en"]},
+            "long_de": {"range": {"column": "n_chars", "gte": 250}},
+        }}}},
+        k=K,
+    )
+    return aggs["kinds"]
+
+
+def q_query_top_hits_agg(spark, sf_dir):
+    """top_hits under a terms grouping: per source, the 2 best hits by
+    query score (bounded per-group window, no global sort)."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"best": {"top_hits": {"group_by": "source", "size": 2}}},
+        k=K,
+    )
+    return aggs["best"].select(
+        "key", "rank", F.col("docID").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_query_composite_agg(spark, sf_dir):
+    """Composite agg page: (source, lang) buckets after the cursor
+    ('src2', 'de'), strict tuple order, size 8 — bucket paging that stays
+    bounded at ANY key cardinality."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"page": {"composite": {
+            "sources": [{"src": {"terms": {"field": "source"}}},
+                        {"lg": {"terms": {"field": "lang"}}}],
+            "size": 8, "after": {"src": "src2", "lg": "de"}}}},
+        k=K,
+    )
+    return aggs["page"]
+
+
 def q_query_percentiles_agg(spark, sf_dir):
     """Exact continuous percentiles agg over the match set (OpenSearch uses
     t-digest approximation — documented divergence; this is quantile_cont
@@ -2692,6 +2752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits_relation": q_total_hits_relation,
         "query_with_aggs": q_query_with_aggs,
         "query_percentiles_agg": q_query_percentiles_agg,
+        "query_histogram_agg": q_query_histogram_agg,
+        "query_filters_agg": q_query_filters_agg,
+        "query_top_hits_agg": q_query_top_hits_agg,
+        "query_composite_agg": q_query_composite_agg,
         "query_stats_agg": q_query_stats_agg,
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
@@ -3203,6 +3267,53 @@ def oracle_sql() -> dict[str, str]:
   select d.lang as key, count(*)::BIGINT as doc_count
   from documents d join matching m on d.doc_id = m.doc_id
   group by 1""",
+        "query_histogram_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  ),
+  md as (select d.n_chars from documents d join matching m on d.doc_id = m.doc_id),
+  b as (select floor(n_chars / 50.0) as idx, count(*)::BIGINT as doc_count
+        from md group by 1),
+  span as (select unnest(generate_series(
+             (select min(idx)::BIGINT from b), (select max(idx)::BIGINT from b))) as idx)
+  select (span.idx * 50.0)::DOUBLE as key,
+         coalesce(b.doc_count, 0)::BIGINT as doc_count
+  from span left join b on span.idx = b.idx""",
+        "query_filters_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  ),
+  md as (select d.* from documents d join matching m on d.doc_id = m.doc_id)
+  select 'short' as key, sum(case when n_chars < 150 then 1 else 0 end)::BIGINT as doc_count from md
+  union all
+  select 'en', sum(case when lang = 'en' then 1 else 0 end)::BIGINT from md
+  union all
+  select 'long_de', sum(case when n_chars >= 250 then 1 else 0 end)::BIGINT from md""",
+        "query_top_hits_agg": f"""
+  with {SQL_INDEX_CTES},
+  {_sql_bm25_raw(Q_BM25, "s_all")},
+  j as (select d.source as key, s.doc_id, s.score
+        from s_all s join documents d on s.doc_id = d.doc_id),
+  r as (select key, doc_id, score,
+               row_number() over (partition by key
+                                  order by score desc, doc_id asc)::BIGINT as rank
+        from j)
+  select key, rank, doc_id, round(score, 6) as score
+  from r where rank <= 2""",
+        "query_composite_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  ),
+  b as (select d.source as src, d.lang as lg, count(*)::BIGINT as doc_count
+        from documents d join matching m on d.doc_id = m.doc_id
+        group by 1, 2)
+  select src, lg, doc_count from b
+  where src > 'src2' or (src = 'src2' and lg > 'de')
+  order by src asc, lg asc
+  limit 8""",
         "nested_roundtrip_tokens": """
   select source, doc_id,
          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT as n_tokens

@@ -77,6 +77,7 @@ Semantics notes:
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from dataclasses import dataclass
 
@@ -1355,7 +1356,18 @@ class QueryEngine:
                                              "min_doc_count": 0}},
              "len_rng":  {"range": {"field": "n_chars", "ranges": [
                              {"to": 100}, {"from": 100, "to": 200},
-                             {"from": 200}]}}}
+                             {"from": 200}]}},
+             "len_hist": {"histogram": {"field": "n_chars", "interval": 50,
+                             "offset": 0, "min_doc_count": 0,
+                             "extended_bounds": {"min": 0, "max": 400}}},
+             "kinds":    {"filters": {"filters": {
+                             "short": {"range": {"column": "n_chars", "lt": 100}},
+                             "en": {"eq": ["lang", "en"]}}}},
+             "best":     {"top_hits": {"group_by": "source", "size": 2}},
+             "page":     {"composite": {"sources": [
+                             {"src": {"terms": {"field": "source"}}},
+                             {"lg": {"terms": {"field": "lang"}}}],
+                             "size": 10, "after": {"src": "a", "lg": "en"}}}}
 
         date_histogram buckets by date_trunc; with min_doc_count=0 (the
         OpenSearch default) empty buckets between the observed min and max
@@ -1382,7 +1394,9 @@ class QueryEngine:
         for name, spec in aggs.items():
             (akind,) = spec.keys()
             body = spec[akind]
-            field = body["field"]
+            field = body.get("field")
+            if field is None and akind not in ("filters", "top_hits", "composite"):
+                raise QueryValidationError(f"{akind} aggregation needs a 'field'")
             if akind == "terms":
                 out[name] = (
                     match_docs.groupBy(F.col(field).alias("key"))
@@ -1530,6 +1544,146 @@ class QueryEngine:
                     F.avg(field).alias("avg"),
                     F.sum(field).alias("sum"),
                 )
+            elif akind == "histogram":
+                # numeric histogram: key = ⌊(v − offset)/interval⌋·interval
+                # + offset; min_doc_count=0 gap-fills between the observed
+                # (or extended_bounds) min/max via a generated sequence of
+                # BUCKET INDEXES (long arithmetic — no float accumulation)
+                interval = float(body["interval"])
+                if interval <= 0:
+                    raise QueryValidationError("histogram interval must be > 0")
+                offset = float(body.get("offset", 0.0))
+                v = F.col(field).cast("double")
+                idx_col = F.floor((v - F.lit(offset)) / F.lit(interval))
+                buckets = (
+                    match_docs.where(v.isNotNull())
+                    .groupBy(idx_col.alias("_idx"))
+                    .agg(F.count("*").cast("long").alias("doc_count"))
+                )
+                if int(body.get("min_doc_count", 0)) == 0:
+                    eb = body.get("extended_bounds")
+                    lo = F.min("_idx").alias("lo")
+                    hi = F.max("_idx").alias("hi")
+                    span = buckets.agg(lo, hi)
+                    if eb is not None:
+                        eb_lo = int(math.floor((float(eb["min"]) - offset) / interval))
+                        eb_hi = int(math.floor((float(eb["max"]) - offset) / interval))
+                        span = span.select(
+                            F.least(F.col("lo"), F.lit(eb_lo)).alias("lo"),
+                            F.greatest(F.col("hi"), F.lit(eb_hi)).alias("hi"),
+                        )
+                    keys = span.select(
+                        F.explode(F.sequence("lo", "hi")).alias("_idx")
+                    )
+                    buckets = keys.join(buckets, "_idx", "left").select(
+                        "_idx",
+                        F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count"),
+                    )
+                out[name] = buckets.select(
+                    (F.col("_idx") * F.lit(interval) + F.lit(offset)).alias("key"),
+                    "doc_count",
+                )
+            elif akind == "filters":
+                # named filter buckets in ONE conditional-count pass over
+                # the match set (no per-bucket scan); stack() unpivots the
+                # single aggregated row into (key, doc_count) engine-side
+                named = body.get("filters")
+                if not isinstance(named, dict) or not named:
+                    raise QueryValidationError(
+                        "filters aggregation needs a non-empty 'filters' dict"
+                    )
+                counts = match_docs.agg(
+                    *[
+                        F.sum(
+                            F.when(filter_condition(pred), F.lit(1)).otherwise(F.lit(0))
+                        ).cast("long").alias(f"_f{i}")
+                        for i, pred in enumerate(named.values())
+                    ]
+                )
+                stack_args = ", ".join(
+                    f"'{k}', _f{i}" for i, k in enumerate(named.keys())
+                )
+                out[name] = counts.select(
+                    F.expr(
+                        f"stack({len(named)}, {stack_args}) as (key, doc_count)"
+                    )
+                )
+            elif akind == "top_hits":
+                # top_hits under a terms grouping (the OpenSearch sub-agg
+                # shape, flattened): per group_by value, the `size` best
+                # hits by query score (docID-asc ties) — a bounded window
+                # per group, never a global sort
+                group_by = body.get("group_by")
+                if group_by is None or group_by not in self.docs.columns:
+                    raise QueryValidationError(
+                        "top_hits needs group_by = an existing docs column"
+                    )
+                size = int(body.get("size", 3))
+                scored_all = self._score(query, None, k=k)
+                meta_cols = self.docs.select(
+                    F.col(self.id_col).alias("docID"), F.col(group_by).alias("key")
+                )
+                j = scored_all.join(meta_cols, "docID")
+                from pyspark.sql import Window as _W
+
+                w = _W.partitionBy("key").orderBy(
+                    F.col("score").desc(), F.col("docID").asc()
+                )
+                out[name] = (
+                    j.withColumn("rank", F.row_number().over(w).cast("long"))
+                    .where(F.col("rank") <= size)
+                    .select("key", "rank", "docID", "score")
+                )
+            elif akind == "composite":
+                # composite agg: paging through UNBOUNDED bucket cardinality
+                # in deterministic key order with an `after` cursor — the
+                # OpenSearch answer to "terms agg with a million buckets",
+                # and the right shape at 100 TB (each page is one bounded
+                # groupBy + top-`size`, never a full materialized bucket
+                # list). Sources: terms-on-field only (the common case).
+                sources = body.get("sources")
+                if not isinstance(sources, list) or not sources:
+                    raise QueryValidationError(
+                        "composite aggregation needs a 'sources' list"
+                    )
+                fields = []
+                for src in sources:
+                    if not isinstance(src, dict) or len(src) != 1:
+                        raise QueryValidationError(
+                            "each composite source is {name: {'terms': {'field': f}}}"
+                        )
+                    ((sname, sbody),) = src.items()
+                    f_ = sbody.get("terms", {}).get("field")
+                    if f_ is None or f_ not in self.docs.columns:
+                        raise QueryValidationError(
+                            f"composite source {sname!r} needs terms.field "
+                            "= an existing docs column"
+                        )
+                    fields.append((sname, f_))
+                size = int(body.get("size", 10))
+                buckets = match_docs.groupBy(
+                    *[F.col(f_).alias(sname) for sname, f_ in fields]
+                ).agg(F.count("*").cast("long").alias("doc_count"))
+                after = body.get("after")
+                if after is not None:
+                    # strict tuple-> comparison on the source keys: the
+                    # cursor bucket itself is excluded, like OpenSearch
+                    cond = None
+                    eqs = None
+                    for sname, _ in fields:
+                        if sname not in after:
+                            raise QueryValidationError(
+                                f"after cursor missing source {sname!r}"
+                            )
+                        gt = F.col(sname) > F.lit(after[sname])
+                        this = gt if eqs is None else eqs & gt
+                        cond = this if cond is None else cond | this
+                        eq = F.col(sname) == F.lit(after[sname])
+                        eqs = eq if eqs is None else eqs & eq
+                    buckets = buckets.where(cond)
+                out[name] = buckets.orderBy(
+                    *[F.col(sname).asc() for sname, _ in fields]
+                ).limit(size)
             else:
                 raise QueryValidationError(f"unknown aggregation kind: {akind}")
         hits = self.search(query, k=k, post_filter=post_filter)

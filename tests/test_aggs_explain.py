@@ -187,3 +187,126 @@ def test_significant_terms_agg(engine, transcripts):
     got_r = {r["key"]: (r["doc_count"], r["bg_count"]) for r in aggs2["sig"].collect()}
     assert got_r == {k: (v[0], v[1]) for k, v in
                      sorted(exp_r.items(), key=lambda kv: (-kv[1][2], kv[0]))[:3]}
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave: histogram / filters / top_hits / composite aggregations
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_agg_gap_fill_and_extended_bounds(engine, transcripts):
+    matched = _match_rows(transcripts)
+    from collections import Counter as _C
+
+    by_bucket = _C((r["turn_idx"] // 2) * 2 for r in matched)
+    _, aggs = engine.search_with_aggs(
+        Q, {"h": {"histogram": {"field": "turn_idx", "interval": 2,
+                                "min_doc_count": 0,
+                                "extended_bounds": {"min": 0, "max": 9}}}}
+    )
+    got = {int(r["key"]): r["doc_count"] for r in aggs["h"].collect()}
+    expected = {k: by_bucket.get(k, 0) for k in (0, 2, 4, 6, 8)}
+    assert got == expected
+
+
+def test_histogram_agg_offset_min_doc_count_1(engine, transcripts):
+    import math as _m
+
+    matched = _match_rows(transcripts)
+    from collections import Counter as _C
+
+    key = lambda v: _m.floor((v - 1) / 3) * 3 + 1  # noqa: E731
+    by_bucket = _C(key(r["turn_idx"]) for r in matched)
+    _, aggs = engine.search_with_aggs(
+        Q, {"h": {"histogram": {"field": "turn_idx", "interval": 3,
+                                "offset": 1, "min_doc_count": 1}}}
+    )
+    got = {int(r["key"]): r["doc_count"] for r in aggs["h"].collect()}
+    assert got == dict(by_bucket)
+    assert 0 not in got.values()
+
+
+def test_filters_agg_one_pass(engine, transcripts):
+    matched = _match_rows(transcripts)
+    _, aggs = engine.search_with_aggs(
+        Q, {"kinds": {"filters": {"filters": {
+            "early": {"range": {"column": "turn_idx", "lt": 3}},
+            "late": {"range": {"column": "turn_idx", "gte": 7}},
+        }}}}
+    )
+    got = {r["key"]: r["doc_count"] for r in aggs["kinds"].collect()}
+    assert got == {
+        "early": sum(1 for r in matched if r["turn_idx"] < 3),
+        "late": sum(1 for r in matched if r["turn_idx"] >= 7),
+    }
+
+
+def test_top_hits_agg_per_group_best(engine, transcripts):
+    rows = transcripts.select("docID", "text", "turn_idx").collect()
+    docs = {r["docID"]: r["text"] for r in rows}
+    scores = oracle.bm25_scores(docs, {"merge": 1.0, "sort": 1.0})
+    group_of = {r["docID"]: r["turn_idx"] % 2 for r in rows}
+    parity = transcripts.withColumn(
+        "par", (transcripts["turn_idx"] % 2).cast("int")
+    )
+    from neural_search_spark.query.dsl import QueryEngine
+
+    eng2 = QueryEngine(tables=engine.tables, docs=parity)
+    _, aggs = eng2.search_with_aggs(
+        Q, {"best": {"top_hits": {"group_by": "par", "size": 2}}}
+    )
+    got = [
+        (r["key"], r["rank"], r["docID"])
+        for r in aggs["best"].orderBy("key", "rank").collect()
+    ]
+    expected = []
+    for g in (0, 1):
+        members = sorted(
+            ((d, s) for d, s in scores.items() if group_of[d] == g),
+            key=lambda t: (-round(t[1], 12), t[0]),
+        )[:2]
+        expected += [(g, i + 1, d) for i, (d, _) in enumerate(members)]
+    assert got == sorted(expected)
+
+
+def test_composite_agg_pages_cover_all_buckets(engine, transcripts):
+    matched = _match_rows(transcripts)
+    from collections import Counter as _C
+
+    buckets = _C((r["turn_idx"],) for r in matched)
+    ordered = sorted(buckets)
+    spec = {"sources": [{"t": {"terms": {"field": "turn_idx"}}}], "size": 4}
+    pages, after = [], None
+    while True:
+        body = dict(spec)
+        if after is not None:
+            body["after"] = after
+        _, aggs = engine.search_with_aggs(Q, {"p": {"composite": body}})
+        rows = aggs["p"].collect()
+        if not rows:
+            break
+        pages += [((r["t"],), r["doc_count"]) for r in rows]
+        assert len(rows) <= 4
+        after = {"t": rows[-1]["t"]}
+    assert [k for k, _ in pages] == ordered
+    assert dict(pages) == {k: buckets[k] for k in buckets}
+
+
+def test_new_agg_validation(engine):
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(Q, {"h": {"histogram": {"field": "turn_idx",
+                                                        "interval": 0}}})
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(Q, {"f": {"filters": {"filters": {}}}})
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(Q, {"t": {"top_hits": {"group_by": "nope"}}})
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(Q, {"c": {"composite": {"sources": []}}})
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(
+            Q, {"c": {"composite": {
+                "sources": [{"t": {"terms": {"field": "turn_idx"}}}],
+                "after": {}}}}
+        )
