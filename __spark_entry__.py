@@ -1222,6 +1222,22 @@ def q_boosting_top10(spark, sf_dir):
     return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
+RF_PIVOT = 200.0  # rank_feature saturation pivot on n_chars
+
+
+def q_rank_feature_top10(spark, sf_dir):
+    """rank_feature (Lucene FeatureField saturation): score =
+    n_chars/(n_chars + pivot) — the popularity/recency signal shape; docs
+    without a positive feature don't match."""
+    eng = _neural_engine(spark, sf_dir)
+    s = eng._score(
+        {"rank_feature": {"field": "n_chars",
+                          "saturation": {"pivot": RF_PIVOT}}},
+        None,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
 def q_constant_score_hits(spark, sf_dir):
     """constant_score (ConstantScoreQuery): a match query in filter
     context — every matching doc scores exactly `boost`; ties rank by
@@ -2763,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_top10": q_dis_max_top10,
         "boosting_top10": q_boosting_top10,
         "constant_score_hits": q_constant_score_hits,
+        "rank_feature_top10": q_rank_feature_top10,
         "percolate_matches": q_percolate_matches,
         "percolate_stream_matches": q_percolate_stream_matches,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
@@ -3207,6 +3224,12 @@ def oracle_sql() -> dict[str, str]:
            round(case when n.doc_id is not null then p.score * {BOOSTING_NB}
                       else p.score end, 6) as score
     from pos p left join neg n on p.doc_id = n.doc_id)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "rank_feature_top10": f"""
+  with scored as (
+    select doc_id,
+           round(n_chars / (n_chars + {RF_PIVOT}), 6) as score
+    from documents where n_chars > 0)
   {_sql_rank("scored", "score", "doc_id", K)}""",
         "constant_score_hits": f"""
   with {SQL_INDEX_CTES},

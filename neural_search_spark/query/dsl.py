@@ -45,6 +45,9 @@ Supported query dicts::
     {"bool":         {"must": q | [q, ...], "should": [q, ...],
                       "must_not": [q, ...], "filter": [pred, ...],
                       "minimum_should_match": m}}   # Lucene BooleanQuery
+    {"rank_feature": {"field": col, "boost": 1.0,
+                      "saturation": {"pivot": p} | "log": {"scaling_factor": s}
+                      | "sigmoid": {"pivot": p, "exponent": e}}}
     {"terms_set":    {FIELD: {"terms": [t, ...],
                       "minimum_should_match_field": col |
                       "minimum_should_match": n}}}  # CoveringQuery
@@ -523,6 +526,54 @@ class QueryEngine:
                 boost=float(body.get("boost", 1.0)),
                 prefilter=prefilter,
             )
+
+        if kind == "rank_feature":
+            # Lucene FeatureField queries (OpenSearch rank_feature): score a
+            # positive numeric per-doc feature through a monotone transform.
+            #   saturation: boost · v/(v + pivot)
+            #   log:        boost · ln(scaling_factor + v)
+            #   sigmoid:    boost · v^exp/(v^exp + pivot^exp)
+            # Docs WITHOUT the feature (NULL or ≤ 0) do not match — like
+            # rank_feature, which only matches docs carrying the field.
+            field = body.get("field")
+            if field is None or field not in self.docs.columns:
+                raise QueryValidationError(
+                    f"rank_feature needs field = an existing docs column; "
+                    f"available: {sorted(self.docs.columns)}"
+                )
+            boost = float(body.get("boost", 1.0))
+            fns = [f for f in ("saturation", "log", "sigmoid") if f in body]
+            if len(fns) != 1:
+                raise QueryValidationError(
+                    "rank_feature needs exactly one of saturation/log/sigmoid"
+                )
+            v = F.col(field).cast("double")
+            if fns[0] == "saturation":
+                pivot = float(body["saturation"]["pivot"])
+                if pivot <= 0:
+                    raise QueryValidationError("saturation pivot must be > 0")
+                s = v / (v + F.lit(pivot))
+            elif fns[0] == "log":
+                sf_ = float(body["log"]["scaling_factor"])
+                if sf_ < 1:
+                    raise QueryValidationError("log scaling_factor must be >= 1")
+                s = F.log(v + F.lit(sf_))
+            else:
+                sg = body["sigmoid"]
+                pivot, exp = float(sg["pivot"]), float(sg["exponent"])
+                if pivot <= 0 or exp <= 0:
+                    raise QueryValidationError(
+                        "sigmoid needs pivot > 0 and exponent > 0"
+                    )
+                vp = F.pow(v, F.lit(exp))
+                s = vp / (vp + F.lit(pivot**exp))
+            base = self.docs.where(v.isNotNull() & (v > 0)).select(
+                F.col(self.id_col).alias("docID"),
+                (F.lit(boost) * s).alias("score"),
+            )
+            if prefilter is not None:
+                base = base.join(prefilter, "docID", "left_semi")
+            return base
 
         if kind == "terms_set":
             # OpenSearch TermsSetQueryBuilder → Lucene CoveringQuery: a doc

@@ -148,3 +148,62 @@ def test_compound_validation_errors(engine):
                                     "negative_boost": -1}}, None)
     with pytest.raises(QueryValidationError):
         engine._score({"constant_score": {"boost": 2.0}}, None)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature (Lucene FeatureField transforms)
+# ---------------------------------------------------------------------------
+
+
+def _feature_engine(engine, transcripts):
+    from pyspark.sql import functions as F
+    from neural_search_spark.query.dsl import QueryEngine
+
+    # positive feature with one zero-feature doc (docID 0 must not match)
+    docs = transcripts.withColumn(
+        "pop", F.when(F.col("docID") == 0, F.lit(0.0))
+                .otherwise((F.col("docID") % 7 + 1).cast("double"))
+    )
+    return QueryEngine(tables=engine.tables, docs=docs), {
+        r["docID"]: (0.0 if r["docID"] == 0 else r["docID"] % 7 + 1)
+        for r in transcripts.select("docID").collect()
+    }
+
+
+def test_rank_feature_saturation_log_sigmoid(engine, transcripts):
+    import math
+
+    eng, feats = _feature_engine(engine, transcripts)
+    pos = {d: v for d, v in feats.items() if v > 0}
+    cases = [
+        ({"saturation": {"pivot": 3.0}}, lambda v: v / (v + 3.0)),
+        ({"log": {"scaling_factor": 2.0}}, lambda v: math.log(2.0 + v)),
+        ({"sigmoid": {"pivot": 3.0, "exponent": 2.0}},
+         lambda v: v**2 / (v**2 + 3.0**2)),
+    ]
+    for spec, fn in cases:
+        got = _collect(
+            eng._score({"rank_feature": {"field": "pop", "boost": 2.0, **spec}}, None)
+        )
+        assert set(got) == set(pos), spec
+        for d, v in pos.items():
+            assert got[d] == pytest.approx(2.0 * fn(v), rel=1e-9), spec
+
+
+def test_rank_feature_composes_and_validates(engine, transcripts):
+    eng, _ = _feature_engine(engine, transcripts)
+    r = eng.search(
+        {"bool": {"must": [SUB_A],
+                  "should": [{"rank_feature": {"field": "pop",
+                                               "saturation": {"pivot": 3.0}}}]}},
+        k=5,
+    )
+    assert r.count() > 0
+    with pytest.raises(QueryValidationError):
+        eng._score({"rank_feature": {"field": "pop"}}, None)  # no transform
+    with pytest.raises(QueryValidationError):
+        eng._score({"rank_feature": {"field": "nope",
+                                     "saturation": {"pivot": 1.0}}}, None)
+    with pytest.raises(QueryValidationError):
+        eng._score({"rank_feature": {"field": "pop",
+                                     "saturation": {"pivot": 0.0}}}, None)
