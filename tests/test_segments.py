@@ -325,3 +325,41 @@ def test_wand_randomized_rank_identity(spark, index_tables, segments, data):
     assert [r["docID"] for r in got] == [r["docID"] for r in rel], terms
     for g, r in zip(got, rel):
         assert g["score"] == pytest.approx(r["score"], rel=1e-9), terms
+
+
+def test_store_snapshot_and_restore(spark, tmp_path):
+    from neural_search_spark.data import synthesize_transcripts
+
+    tr = synthesize_transcripts(spark, n_convs=10, turns_per_conv=6, seed=9)
+    out = str(tmp_path / "idx_snap")
+    build_index(spark, tr, out, source_fingerprint="synth:10x6:9", postings_per_salt=50)
+    store = IndexStore(spark, out)
+    before = store.topk(["the", "data", "spark"], k=5).collect()
+
+    snaps = str(tmp_path / "snaps")
+    m1 = store.snapshot(snaps, name="s1")
+    assert m1["copied"] > 0 and m1["skipped"] == 0
+    # incremental: an unchanged index re-snapshots with zero copies
+    m2 = store.snapshot(snaps, name="s1")
+    assert m2["copied"] == 0 and m2["skipped"] == len(m2["files"])
+
+    restored = IndexStore.restore(
+        spark, str(tmp_path / "snaps" / "s1"), str(tmp_path / "idx_restored")
+    )
+    after = restored.topk(["the", "data", "spark"], k=5).collect()
+    assert [(r["docID"], r["score"]) for r in after] == [
+        (r["docID"], r["score"]) for r in before
+    ]
+    assert restored.meta == store.meta
+    # a torn snapshot (missing file) fails loudly before restoring anything
+    import json as _json
+    import os as _os
+
+    sdir = str(tmp_path / "snaps" / "s1")
+    with open(_os.path.join(sdir, "snapshot.json")) as f:
+        manifest = _json.load(f)
+    victim = next(e["path"] for e in manifest["files"] if e["path"].endswith(".parquet"))
+    _os.remove(_os.path.join(sdir, victim))
+    with pytest.raises(ValueError, match="incomplete"):
+        IndexStore.restore(spark, sdir, str(tmp_path / "idx_restored2"))
+    assert not _os.path.exists(str(tmp_path / "idx_restored2"))
