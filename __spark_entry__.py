@@ -1223,6 +1223,16 @@ def q_boosting_top10(spark, sf_dir):
 
 
 RF_PIVOT = 200.0  # rank_feature saturation pivot on n_chars
+SQS_QUERY = "+the data -dup s*"  # must(the) should(data, s-prefix) not(dup)
+
+
+def q_simple_query_string_top10(spark, sf_dir):
+    """simple_query_string mini language: '+the data -dup s*' parses to
+    must(match the) + should(match data, prefix s) + must_not(match dup)
+    and runs as the fused single-scan bool (query/querystring.py)."""
+    eng = _neural_engine(spark, sf_dir)
+    s = eng._score({"simple_query_string": {"query": SQS_QUERY}}, None)
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
 
 def q_rank_feature_top10(spark, sf_dir):
@@ -2780,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_top10": q_boosting_top10,
         "constant_score_hits": q_constant_score_hits,
         "rank_feature_top10": q_rank_feature_top10,
+        "simple_query_string_top10": q_simple_query_string_top10,
         "percolate_matches": q_percolate_matches,
         "percolate_stream_matches": q_percolate_stream_matches,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
@@ -3224,6 +3235,18 @@ def oracle_sql() -> dict[str, str]:
            round(case when n.doc_id is not null then p.score * {BOOSTING_NB}
                       else p.score end, 6) as score
     from pos p left join neg n on p.doc_id = n.doc_id)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "simple_query_string_top10": f"""
+  with {SQL_INDEX_CTES},
+  {_sql_bm25_raw({"the": 1.0}, "s_the")},
+  {_sql_bm25_raw({"data": 1.0}, "s_data")},
+  pfx as (select distinct doc_id, 1.0::DOUBLE as score from postings where term like 's%'),
+  u as (select * from s_the union all select * from s_data union all select * from pfx),
+  scored as (
+    select doc_id, round(sum(score), 6) as score from u
+    where doc_id in (select doc_id from postings where term = 'the')
+      and doc_id not in (select doc_id from postings where term = 'dup')
+    group by 1)
   {_sql_rank("scored", "score", "doc_id", K)}""",
         "rank_feature_top10": f"""
   with scored as (

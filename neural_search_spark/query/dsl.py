@@ -45,6 +45,8 @@ Supported query dicts::
     {"bool":         {"must": q | [q, ...], "should": [q, ...],
                       "must_not": [q, ...], "filter": [pred, ...],
                       "minimum_should_match": m}}   # Lucene BooleanQuery
+    {"simple_query_string": {"query": '+spark "merge sort" -dup pre*',
+                      "default_operator": "or" | "and"}}  # mini language
     {"rank_feature": {"field": col, "boost": 1.0,
                       "saturation": {"pivot": p} | "log": {"scaling_factor": s}
                       | "sigmoid": {"pivot": p, "exponent": e}}}
@@ -526,6 +528,25 @@ class QueryEngine:
                 boost=float(body.get("boost", 1.0)),
                 prefilter=prefilter,
             )
+
+        if kind == "simple_query_string":
+            # {"simple_query_string": {"query": '+spark "merge sort" -dup pre*',
+            #                          "default_operator": "or"}}
+            # parsed to a bool over existing kinds (query/querystring.py);
+            # the lexical parts keep the fused single-scan bool plan
+            from neural_search_spark.query.querystring import (
+                parse_simple_query_string,
+            )
+
+            if "query" not in body:
+                raise QueryValidationError("simple_query_string needs a 'query' string")
+            op = body.get("default_operator", "or")
+            if op not in ("or", "and"):
+                raise QueryValidationError(
+                    f"default_operator must be 'or' or 'and', got {op!r}"
+                )
+            compiled = parse_simple_query_string(str(body["query"]), op)
+            return self._score(compiled, prefilter, in_hybrid=in_hybrid, k=k)
 
         if kind == "rank_feature":
             # Lucene FeatureField queries (OpenSearch rank_feature): score a
