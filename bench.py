@@ -97,6 +97,11 @@ QNAMES = [
     "function_score_top10",
     "percolate_matches",
     "fuzzy_top10",
+    "dis_max_top10",
+    "terms_set_top10",
+    "phrase_prefix_top10",
+    "simple_query_string_top10",
+    "query_composite_agg",
     "hybrid_minmax_arithmetic",
     "hybrid_sorted_top10",
     "hybrid_neural_match",
