@@ -1226,6 +1226,22 @@ RF_PIVOT = 200.0  # rank_feature saturation pivot on n_chars
 SQS_QUERY = "+the data -dup s*"  # must(the) should(data, s-prefix) not(dup)
 
 
+def q_source_groups_top5(spark, sf_dir):
+    """Group-level retrieval (query/grouping.py — the conversation-ranking
+    shape, ToParentBlockJoinQuery ScoreMode semantics): rank SOURCES by the
+    SUM of their member docs' BM25 scores; one map-side-combinable groupBy
+    over the scored match set."""
+    from neural_search_spark.query.grouping import group_topk
+
+    eng = _neural_engine(spark, sf_dir)
+    s = eng._score({"match": {"text": {"query": Q_MATCH_TEXT}}}, None)
+    s = s.withColumn("score", F.round("score", 6))
+    g = group_topk(
+        s, _docs(spark, sf_dir), "source", k=5, score_mode="sum", id_col="doc_id",
+    )
+    return g.select("rank", "source", F.round("score", 6).alias("score"), "n_hits")
+
+
 def q_simple_query_string_top10(spark, sf_dir):
     """simple_query_string mini language: '+the data -dup s*' parses to
     must(match the) + should(match data, prefix s) + must_not(match dup)
@@ -2791,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_score_hits": q_constant_score_hits,
         "rank_feature_top10": q_rank_feature_top10,
         "simple_query_string_top10": q_simple_query_string_top10,
+        "source_groups_top5": q_source_groups_top5,
         "percolate_matches": q_percolate_matches,
         "percolate_stream_matches": q_percolate_stream_matches,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
@@ -3236,6 +3253,16 @@ def oracle_sql() -> dict[str, str]:
                       else p.score end, 6) as score
     from pos p left join neg n on p.doc_id = n.doc_id)
   {_sql_rank("scored", "score", "doc_id", K)}""",
+        "source_groups_top5": f"""
+  with {SQL_INDEX_CTES},
+  {_sql_bm25_raw(Q_BM25, "pos")},
+  rs as (select doc_id, round(score, 6) as score from pos),
+  g as (select d.source, round(sum(rs.score), 6) as score, count(*)::BIGINT as n_hits
+        from rs join documents d on rs.doc_id = d.doc_id
+        group by 1)
+  select row_number() over (order by score desc, source asc)::BIGINT as rank,
+         source, score, n_hits
+  from g order by score desc, source asc limit 5""",
         "simple_query_string_top10": f"""
   with {SQL_INDEX_CTES},
   {_sql_bm25_raw({"the": 1.0}, "s_the")},

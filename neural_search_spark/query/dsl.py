@@ -1287,6 +1287,41 @@ class QueryEngine:
                 )
         return result
 
+    def search_groups(
+        self,
+        query: dict,
+        by: str,
+        k: int = 10,
+        score_mode: str = "max",
+        inner_hits: int = 0,
+    ) -> DataFrame:
+        """Group-level retrieval (query/grouping.py): rank GROUPS of docs —
+        conversations for transcripts (`by='conv_id'`) — by their members'
+        combined scores under ToParentBlockJoinQuery ScoreMode semantics
+        (max/sum/avg/min/none). `inner_hits` > 0 adds the best members per
+        winning group. Not defined for hybrid queries (whose normalized
+        scores are rank fusions, not member scores)."""
+        from neural_search_spark.query.grouping import group_topk
+
+        kind = self._query_kind(query)
+        if kind == "hybrid":
+            raise QueryValidationError(
+                "search_groups does not accept hybrid queries — group the "
+                "combined result yourself if rank-fusion grouping is intended"
+            )
+        if by not in self.docs.columns:
+            raise QueryValidationError(
+                f"unknown group field {by!r}; available: {sorted(self.docs.columns)}"
+            )
+        try:
+            return group_topk(
+                self._score(query, None, k=k), self.docs, by, k=k,
+                score_mode=score_mode, inner_hits=inner_hits,
+                id_col=self.id_col,
+            )
+        except ValueError as e:
+            raise QueryValidationError(str(e)) from e
+
     def msearch(self, queries: list[dict], k: int = 10) -> DataFrame:
         """Multi-search — the _msearch API analog, returning
         (query_id, rank, docID, score) for the whole request list.
