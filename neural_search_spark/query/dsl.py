@@ -1505,10 +1505,34 @@ class QueryEngine:
             if field is None and akind not in ("filters", "top_hits", "composite"):
                 raise QueryValidationError(f"{akind} aggregation needs a 'field'")
             if akind == "terms":
-                out[name] = (
-                    match_docs.groupBy(F.col(field).alias("key"))
+                # OpenSearch terms agg: `size` bounds the bucket list
+                # (default: unbounded here — callers wanting the full list
+                # omit size), ordered by doc_count desc / key asc (`order`
+                # accepts "count" | "key"); `missing` buckets NULL keys
+                # under a stand-in value instead of dropping them
+                missing = body.get("missing")
+                key_col = F.col(field)
+                if missing is not None:
+                    key_col = F.coalesce(key_col, F.lit(missing))
+                buckets = (
+                    match_docs.groupBy(key_col.alias("key"))
                     .agg(F.count("*").cast("long").alias("doc_count"))
                 )
+                if missing is None:
+                    buckets = buckets.where(F.col("key").isNotNull())
+                size = body.get("size")
+                if size is not None:
+                    order = body.get("order", "count")
+                    if order == "count":
+                        ordering = [F.col("doc_count").desc(), F.col("key").asc()]
+                    elif order == "key":
+                        ordering = [F.col("key").asc()]
+                    else:
+                        raise QueryValidationError(
+                            f"terms agg order must be 'count' or 'key', got {order!r}"
+                        )
+                    buckets = buckets.orderBy(*ordering).limit(int(size))
+                out[name] = buckets
             elif akind in ("avg", "sum", "min", "max"):
                 fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[akind]
                 out[name] = match_docs.agg(fn(field).alias("value"))

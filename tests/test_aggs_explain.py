@@ -310,3 +310,52 @@ def test_new_agg_validation(engine):
                 "sources": [{"t": {"terms": {"field": "turn_idx"}}}],
                 "after": {}}}}
         )
+
+
+def test_terms_agg_size_order_missing(engine, transcripts):
+    from collections import Counter as _C
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.dsl import QueryEngine, QueryValidationError
+
+    matched = {r["docID"] for r in _match_rows(transcripts)}
+    # docs with a NULLABLE key: role nulled for docID % 5 == 0
+    docs = transcripts.withColumn(
+        "role2", F.when(F.col("docID") % 5 == 0, None).otherwise(F.col("role"))
+    )
+    eng = QueryEngine(tables=engine.tables, docs=docs)
+    rows = docs.select("docID", "role2").collect()
+    key_of = {r["docID"]: r["role2"] for r in rows}
+    counts = _C(key_of[d] for d in matched if key_of[d] is not None)
+
+    # default: NULL keys dropped (OpenSearch semantics without `missing`)
+    _, aggs = eng.search_with_aggs(Q, {"r": {"terms": {"field": "role2"}}})
+    got = {r["key"]: r["doc_count"] for r in aggs["r"].collect()}
+    assert got == dict(counts)
+
+    # missing= buckets the NULLs under the stand-in
+    n_null = sum(1 for d in matched if key_of[d] is None)
+    _, aggs = eng.search_with_aggs(
+        Q, {"r": {"terms": {"field": "role2", "missing": "N/A"}}}
+    )
+    got = {r["key"]: r["doc_count"] for r in aggs["r"].collect()}
+    assert got == {**counts, "N/A": n_null}
+
+    # size + count order: top-1 bucket by doc_count desc, key asc
+    _, aggs = eng.search_with_aggs(
+        Q, {"r": {"terms": {"field": "role2", "size": 1}}}
+    )
+    top = aggs["r"].collect()
+    best = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0]
+    assert [(r["key"], r["doc_count"]) for r in top] == [best]
+
+    # key order
+    _, aggs = eng.search_with_aggs(
+        Q, {"r": {"terms": {"field": "role2", "size": 2, "order": "key"}}}
+    )
+    assert [r["key"] for r in aggs["r"].collect()] == sorted(counts)[:2]
+
+    with pytest.raises(QueryValidationError):
+        eng.search_with_aggs(
+            Q, {"r": {"terms": {"field": "role2", "size": 1, "order": "nope"}}}
+        )
