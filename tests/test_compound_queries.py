@@ -207,3 +207,46 @@ def test_rank_feature_composes_and_validates(engine, transcripts):
     with pytest.raises(QueryValidationError):
         eng._score({"rank_feature": {"field": "pop",
                                      "saturation": {"pivot": 0.0}}}, None)
+
+
+def test_terms_set_and_sqs_plan_locks(spark, transcripts, index_tables, tmp_path):
+    """Plan-shape locks: (a) terms_set reads the postings ONCE (threshold
+    rides the score aggregation, no second pass); (b) an all-match
+    simple_query_string compiles to the fused single-scan bool."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.build import IndexTables
+
+    p = str(tmp_path / "postings_pl")
+    index_tables.postings.write.parquet(p)
+    t2 = IndexTables(
+        postings=spark.read.parquet(p),
+        doclens=index_tables.doclens,
+        term_stats=index_tables.term_stats,
+        meta=index_tables.meta,
+    )
+    docs = transcripts.withColumn("req_m", (F.col("docID") % 3 + 1).cast("int"))
+    eng = QueryEngine(tables=t2, docs=docs)
+
+    def postings_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only parquet source in these plans IS the postings write
+        # (docs/doclens/stats are in-memory RDDs); the Location path is
+        # truncated in toString, so match on FileScan parquet + docID
+        return [
+            ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "docID" in ln
+        ], plan
+
+    r1 = eng.search(
+        {"terms_set": {"text": {"terms": ["merge", "sort", "spark"],
+                                "minimum_should_match_field": "req_m"}}}, k=5
+    )
+    scans, plan = postings_scans(r1)
+    assert len(scans) == 1, plan
+
+    r2 = eng.search(
+        {"simple_query_string": {"query": "merge sort -vector"}}, k=5
+    )
+    scans, plan = postings_scans(r2)
+    assert len(scans) == 1, plan
