@@ -1165,6 +1165,24 @@ def q_query_composite_agg(spark, sf_dir):
     return aggs["page"]
 
 
+def q_query_weighted_avg_agg(spark, sf_dir):
+    """weighted_avg agg over the match set: n_chars weighted by a derived
+    per-doc weight (doc_id % 5 + 1), missing weights counting 1."""
+    from neural_search_spark.query.dsl import QueryEngine
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w", (F.col("doc_id") % 5 + 1).cast("double")
+    )
+    eng = QueryEngine(tables=_index(spark, sf_dir), docs=docs, id_col="doc_id")
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"wa": {"weighted_avg": {"value": {"field": "n_chars"},
+                                 "weight": {"field": "w"}}}},
+        k=K,
+    )
+    return aggs["wa"].select(F.round("value", 6).alias("value"))
+
+
 def q_query_percentiles_agg(spark, sf_dir):
     """Exact continuous percentiles agg over the match set (OpenSearch uses
     t-digest approximation — documented divergence; this is quantile_cont
@@ -2798,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_filters_agg": q_query_filters_agg,
         "query_top_hits_agg": q_query_top_hits_agg,
         "query_composite_agg": q_query_composite_agg,
+        "query_weighted_avg_agg": q_query_weighted_avg_agg,
         "query_stats_agg": q_query_stats_agg,
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
@@ -3340,6 +3359,14 @@ def oracle_sql() -> dict[str, str]:
   select d.lang as key, count(*)::BIGINT as doc_count
   from documents d join matching m on d.doc_id = m.doc_id
   group by 1""",
+        "query_weighted_avg_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  )
+  select round(sum(d.n_chars * ((d.doc_id % 5) + 1))
+               / sum((d.doc_id % 5) + 1), 6) as value
+  from documents d join matching m on d.doc_id = m.doc_id""",
         "query_histogram_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (

@@ -1502,7 +1502,9 @@ class QueryEngine:
             (akind,) = spec.keys()
             body = spec[akind]
             field = body.get("field")
-            if field is None and akind not in ("filters", "top_hits", "composite"):
+            if field is None and akind not in (
+                "filters", "top_hits", "composite", "weighted_avg"
+            ):
                 raise QueryValidationError(f"{akind} aggregation needs a 'field'")
             if akind == "terms":
                 # OpenSearch terms agg: `size` bounds the bucket list
@@ -1674,6 +1676,34 @@ class QueryEngine:
                     F.max(field).alias("max"),
                     F.avg(field).alias("avg"),
                     F.sum(field).alias("sum"),
+                )
+            elif akind == "missing":
+                # count of matched docs WITHOUT a value for the field
+                out[name] = match_docs.agg(
+                    F.sum(
+                        F.when(F.col(field).isNull(), F.lit(1)).otherwise(F.lit(0))
+                    ).cast("long").alias("doc_count")
+                )
+            elif akind == "weighted_avg":
+                # {"weighted_avg": {"value": {"field": v}, "weight":
+                #  {"field": w}}} — Σ v·w / Σ w over docs with a value;
+                # a missing weight counts as 1 (OpenSearch semantics)
+                if not isinstance(body.get("value"), dict) or not isinstance(
+                    body.get("weight"), dict
+                ):
+                    raise QueryValidationError(
+                        "weighted_avg needs value.field and weight.field"
+                    )
+                vf, wf = body["value"]["field"], body["weight"]["field"]
+                for c in (vf, wf):
+                    if c not in self.docs.columns:
+                        raise QueryValidationError(
+                            f"unknown weighted_avg field {c!r}"
+                        )
+                vv = F.col(vf).cast("double")
+                ww = F.coalesce(F.col(wf).cast("double"), F.lit(1.0))
+                out[name] = match_docs.where(vv.isNotNull()).agg(
+                    (F.sum(vv * ww) / F.sum(ww)).alias("value")
                 )
             elif akind == "histogram":
                 # numeric histogram: key = ⌊(v − offset)/interval⌋·interval

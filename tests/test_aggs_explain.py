@@ -359,3 +359,41 @@ def test_terms_agg_size_order_missing(engine, transcripts):
         eng.search_with_aggs(
             Q, {"r": {"terms": {"field": "role2", "size": 1, "order": "nope"}}}
         )
+
+
+def test_missing_and_weighted_avg_aggs(engine, transcripts):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.dsl import QueryEngine, QueryValidationError
+
+    matched = {r["docID"] for r in _match_rows(transcripts)}
+    docs = transcripts.withColumn(
+        "opt", F.when(F.col("docID") % 4 == 0, None)
+                .otherwise(F.col("turn_idx").cast("double"))
+    ).withColumn(
+        "w", F.when(F.col("docID") % 3 == 0, None)
+              .otherwise((F.col("docID") % 5 + 1).cast("double"))
+    )
+    eng = QueryEngine(tables=engine.tables, docs=docs)
+    rows = {r["docID"]: r for r in docs.select("docID", "opt", "w").collect()}
+
+    _, aggs = eng.search_with_aggs(Q, {"m": {"missing": {"field": "opt"}}})
+    n_null = sum(1 for d in matched if rows[d]["opt"] is None)
+    assert aggs["m"].first()["doc_count"] == n_null
+
+    _, aggs = eng.search_with_aggs(
+        Q, {"wa": {"weighted_avg": {"value": {"field": "opt"},
+                                    "weight": {"field": "w"}}}}
+    )
+    num = den = 0.0
+    for d in matched:
+        v, w = rows[d]["opt"], rows[d]["w"]
+        if v is None:
+            continue
+        w = 1.0 if w is None else w
+        num += v * w
+        den += w
+    assert aggs["wa"].first()["value"] == pytest.approx(num / den, rel=1e-12)
+
+    with pytest.raises(QueryValidationError):
+        eng.search_with_aggs(Q, {"wa": {"weighted_avg": {"value": {"field": "opt"}}}})
