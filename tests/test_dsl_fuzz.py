@@ -19,11 +19,20 @@ KINDS = [
     "neural_sparse", "neural", "hybrid", "bool", "ids", "exists",
     "match_all", "match_none", "synonym", "more_like_this", "span_near",
     "function_score", "range", "terms", "nonsense_kind",
+    # third-wave kinds
+    "dis_max", "boosting", "constant_score", "regexp", "terms_set",
+    "match_phrase_prefix", "rank_feature", "simple_query_string",
 ]
 VALUES = [None, 1, "alpha", [], {}, [1, 2], {"query": "alpha"},
           {"value": "alpha"}, {"field": "text"}, {"terms": ["alpha"]},
           {"like": [0]}, {"groups": [["alpha"]]}, {"queries": []},
-          {"query": {"term": {"text": "alpha"}}}]
+          {"query": {"term": {"text": "alpha"}}},
+          {"queries": [{"match": {"text": "alpha"}}], "tie_breaker": 2},
+          {"positive": {"match": {"text": "alpha"}}},
+          {"filter": {"match": {"text": "alpha"}}},
+          {"text": {"terms": ["alpha"], "minimum_should_match_field": "nope"}},
+          {"field": "text", "saturation": {"pivot": -1}},
+          {"query": "+alpha -beta g*", "default_operator": "nand"}]
 
 
 @pytest.fixture(scope="module")
