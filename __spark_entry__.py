@@ -1165,6 +1165,21 @@ def q_query_composite_agg(spark, sf_dir):
     return aggs["page"]
 
 
+def q_query_adjacency_agg(spark, sf_dir):
+    """adjacency_matrix agg: per-filter buckets + pair intersections in one
+    conditional-count pass; zero-doc buckets omitted."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"adj": {"adjacency_matrix": {"filters": {
+            "short": {"range": {"column": "n_chars", "lt": 150}},
+            "en": {"eq": ["lang", "en"]},
+        }}}},
+        k=K,
+    )
+    return aggs["adj"]
+
+
 def q_query_weighted_avg_agg(spark, sf_dir):
     """weighted_avg agg over the match set: n_chars weighted by a derived
     per-doc weight (doc_id % 5 + 1), missing weights counting 1."""
@@ -2817,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_top_hits_agg": q_query_top_hits_agg,
         "query_composite_agg": q_query_composite_agg,
         "query_weighted_avg_agg": q_query_weighted_avg_agg,
+        "query_adjacency_agg": q_query_adjacency_agg,
         "query_stats_agg": q_query_stats_agg,
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
@@ -3359,6 +3375,19 @@ def oracle_sql() -> dict[str, str]:
   select d.lang as key, count(*)::BIGINT as doc_count
   from documents d join matching m on d.doc_id = m.doc_id
   group by 1""",
+        "query_adjacency_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  ),
+  md as (select d.* from documents d join matching m on d.doc_id = m.doc_id),
+  cells as (
+    select 'short' as key, sum(case when n_chars < 150 then 1 else 0 end)::BIGINT as doc_count from md
+    union all
+    select 'en', sum(case when lang = 'en' then 1 else 0 end)::BIGINT from md
+    union all
+    select 'en&short', sum(case when lang = 'en' and n_chars < 150 then 1 else 0 end)::BIGINT from md)
+  select key, doc_count from cells where doc_count > 0""",
         "query_weighted_avg_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (

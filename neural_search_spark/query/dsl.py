@@ -1503,7 +1503,8 @@ class QueryEngine:
             body = spec[akind]
             field = body.get("field")
             if field is None and akind not in (
-                "filters", "top_hits", "composite", "weighted_avg"
+                "filters", "adjacency_matrix", "top_hits", "composite",
+                "weighted_avg",
             ):
                 raise QueryValidationError(f"{akind} aggregation needs a 'field'")
             if akind == "terms":
@@ -1769,6 +1770,41 @@ class QueryEngine:
                         f"stack({len(named)}, {stack_args}) as (key, doc_count)"
                     )
                 )
+            elif akind == "adjacency_matrix":
+                # filters-family completion: one bucket per named filter and
+                # per pair intersection ("a&b", names sorted), zero-doc
+                # buckets omitted (OpenSearch semantics). Still ONE
+                # conditional-count pass: n + n(n−1)/2 sums over the match
+                # set, stack() unpivot, no joins.
+                named = body.get("filters")
+                if not isinstance(named, dict) or not named:
+                    raise QueryValidationError(
+                        "adjacency_matrix needs a non-empty 'filters' dict"
+                    )
+                keys = sorted(named)
+                conds = {kk: filter_condition(named[kk]) for kk in keys}
+                cells: list[tuple[str, F.Column]] = [
+                    (kk, conds[kk]) for kk in keys
+                ] + [
+                    (f"{a}&{b}", conds[a] & conds[b])
+                    for i, a in enumerate(keys)
+                    for b in keys[i + 1:]
+                ]
+                counts = match_docs.agg(
+                    *[
+                        F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))
+                        .cast("long").alias(f"_c{i}")
+                        for i, (_, c) in enumerate(cells)
+                    ]
+                )
+                stack_args = ", ".join(
+                    f"'{kk}', _c{i}" for i, (kk, _) in enumerate(cells)
+                )
+                out[name] = counts.select(
+                    F.expr(
+                        f"stack({len(cells)}, {stack_args}) as (key, doc_count)"
+                    )
+                ).where(F.col("doc_count") > 0)
             elif akind == "top_hits":
                 # top_hits under a terms grouping (the OpenSearch sub-agg
                 # shape, flattened): per group_by value, the `size` best

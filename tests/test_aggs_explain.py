@@ -397,3 +397,30 @@ def test_missing_and_weighted_avg_aggs(engine, transcripts):
 
     with pytest.raises(QueryValidationError):
         eng.search_with_aggs(Q, {"wa": {"weighted_avg": {"value": {"field": "opt"}}}})
+
+
+def test_adjacency_matrix_agg(engine, transcripts):
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    matched = _match_rows(transcripts)
+    early = {r["docID"] for r in matched if r["turn_idx"] < 5}
+    late = {r["docID"] for r in matched if r["turn_idx"] >= 5}
+    odd = {r["docID"] for r in matched if r["turn_idx"] % 2 == 1}
+    _, aggs = engine.search_with_aggs(
+        Q, {"adj": {"adjacency_matrix": {"filters": {
+            "early": {"range": {"column": "turn_idx", "lt": 5}},
+            "late": {"range": {"column": "turn_idx", "gte": 5}},
+            "odd": {"in": ["turn_idx", [1, 3, 5, 7, 9]]},
+        }}}}
+    )
+    got = {r["key"]: r["doc_count"] for r in aggs["adj"].collect()}
+    expected = {
+        "early": len(early), "late": len(late), "odd": len(odd),
+        "early&odd": len(early & odd), "late&odd": len(late & odd),
+    }
+    # early&late is empty by construction → omitted
+    expected = {k: v for k, v in expected.items() if v > 0}
+    assert got == expected
+    assert "early&late" not in got
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(Q, {"adj": {"adjacency_matrix": {"filters": {}}}})
