@@ -1567,19 +1567,31 @@ class QueryEngine:
                         "key", F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count")
                     )
                 out[name] = buckets
-            elif akind == "range":
+            elif akind in ("range", "date_range"):
+                # date_range = range over a timestamp field with ISO-string
+                # bounds (from inclusive, to exclusive, same one-pass
+                # conditional counting); keys render the given strings
                 ranges = body["ranges"]
                 if not ranges:
-                    raise QueryValidationError("range agg needs at least one range")
+                    raise QueryValidationError(f"{akind} agg needs at least one range")
+                is_date = akind == "date_range"
+                if is_date and dict(self.docs.dtypes).get(field) != "timestamp":
+                    raise QueryValidationError(
+                        f"date_range field {field!r} must be a timestamp column"
+                    )
+
+                def _bound(v):
+                    return F.to_timestamp(F.lit(v)) if is_date else F.lit(v)
+
                 cols = []
                 keys = []
                 for r in ranges:
                     lo, hi = r.get("from"), r.get("to")
                     cond = F.lit(True)
                     if lo is not None:
-                        cond = cond & (F.col(field) >= F.lit(lo))
+                        cond = cond & (F.col(field) >= _bound(lo))
                     if hi is not None:
-                        cond = cond & (F.col(field) < F.lit(hi))
+                        cond = cond & (F.col(field) < _bound(hi))
                     key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
                     keys.append(key)
                     cols.append(

@@ -424,3 +424,27 @@ def test_adjacency_matrix_agg(engine, transcripts):
     assert "early&late" not in got
     with pytest.raises(QueryValidationError):
         engine.search_with_aggs(Q, {"adj": {"adjacency_matrix": {"filters": {}}}})
+
+
+def test_date_range_agg(engine, transcripts):
+    from datetime import datetime
+
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    matched = _match_rows(transcripts)
+    cut = "2024-01-01 06:00:00"
+    cut_dt = datetime(2024, 1, 1, 6)
+    _, aggs = engine.search_with_aggs(
+        Q, {"dr": {"date_range": {"field": "ts", "ranges": [
+            {"to": cut}, {"from": cut}]}}}
+    )
+    got = {r["key"]: r["doc_count"] for r in aggs["dr"].collect()}
+    assert got == {
+        f"*-{cut}": sum(1 for r in matched if r["ts"] < cut_dt),
+        f"{cut}-*": sum(1 for r in matched if r["ts"] >= cut_dt),
+    }
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(
+            Q, {"dr": {"date_range": {"field": "turn_idx",
+                                      "ranges": [{"to": cut}]}}}
+        )
