@@ -845,6 +845,7 @@ def q_simhash_pairs(spark, sf_dir):
 
 SAMPLE_RATE, SAMPLE_SEED = 0.25, "0"
 STRAT_N = 20  # per-lang quota
+MIX_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}  # target domain mixture
 PACK_BUDGET = 5000  # n_chars per training pack
 
 
@@ -853,6 +854,17 @@ def q_hash_sample(spark, sf_dir):
     rate·2^60 (ops/sampling.py) — a stateless filter, same bytes on every
     run and in every engine."""
     out = ops.hash_sample(_docs(spark, sf_dir), SAMPLE_RATE, "doc_id", SAMPLE_SEED)
+    return out.select("doc_id", "lang")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling (ops/sampling.py mixture_sample): the
+    largest deterministic subsample whose lang distribution matches
+    MIX_WEIGHTS exactly (λ = min_g n_g/p_g, per-group quota ⌊λ·p_g⌋ in
+    hash order)."""
+    out = ops.mixture_sample(
+        _docs(spark, sf_dir), "lang", MIX_WEIGHTS, key_col="doc_id", seed=SAMPLE_SEED
+    )
     return out.select("doc_id", "lang")
 
 
@@ -2813,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
@@ -3061,6 +3074,19 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, lang from documents
     where ('0x' || substr(md5(doc_id::VARCHAR || '#{SAMPLE_SEED}'), 1, 15))::BIGINT
           < {int(SAMPLE_RATE * (1 << 60))}""",
+        "mixture_sample": f"""
+    with w as (select * from (values {", ".join(f"('{g}', {p!r}::DOUBLE)" for g, p in sorted(MIX_WEIGHTS.items()))}) as t(lang, p)),
+    c as (select lang, count(*)::DOUBLE as n from documents
+          where lang in ({", ".join(f"'{g}'" for g in sorted(MIX_WEIGHTS))}) group by 1),
+    lam as (select min(c.n / w.p) as lam from c join w using(lang)),
+    q as (select w.lang, floor((select lam from lam) * w.p)::BIGINT as quota from w),
+    r as (select d.doc_id, d.lang,
+                 row_number() over (partition by d.lang order by
+                   ('0x' || substr(md5(d.doc_id::VARCHAR || '#{SAMPLE_SEED}'), 1, 15))::BIGINT asc,
+                   d.doc_id asc) as rn
+          from documents d
+          where d.lang in ({", ".join(f"'{g}'" for g in sorted(MIX_WEIGHTS))}))
+    select r.doc_id, r.lang from r join q using(lang) where r.rn <= q.quota""",
         "stratified_sample": f"""
     with ranked as (
       select doc_id, lang,

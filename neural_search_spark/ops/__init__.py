@@ -29,6 +29,7 @@ from neural_search_spark.ops.chunking import (  # noqa: F401
 from neural_search_spark.ops.similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
 from neural_search_spark.ops.sampling import (  # noqa: F401
     hash_sample,
+    mixture_sample,
     pack_sequences,
     stratified_sample,
 )

@@ -137,3 +137,56 @@ def pack_sequences(
         ranged.unpersist()
     # mapping as build side — same reasoning as data/docids.py _mapping_join
     return df.join(mapping.hint("shuffle_hash"), order_col)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    target_weights: dict,
+    key_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Resample to a TARGET GROUP MIXTURE — the domain-reweighting step of
+    a training-data pipeline ("make the corpus 60% en / 30% code / 10%
+    math"), deterministic like every sampler here.
+
+    `target_weights` maps group value → desired proportion (normalized
+    internally; groups absent from the dict are dropped). The largest
+    achievable sample honoring the exact mixture without replacement is
+    λ = min_g(n_g / p_g); each group keeps its first ⌊λ·p_g⌋ rows in
+    (hash60(key#seed), key) order via stratified_sample's bounded
+    per-group window.
+
+    Scale shape: one count-per-group agg (#groups rows to the driver —
+    mixtures are human-sized), then ONE group-key shuffle for the ranked
+    cut. Deterministic: same snapshot + weights + seed → same rows.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if any(w <= 0 for w in target_weights.values()):
+        raise ValueError("target weights must be > 0")
+    total_w = float(sum(target_weights.values()))
+    props = {g: w / total_w for g, w in target_weights.items()}
+    counts = {
+        r["g"]: r["n"]
+        for r in df.where(F.col(group_col).isin(list(props)))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = sorted(set(props) - set(counts))
+    if missing:
+        raise ValueError(f"groups absent from the data: {missing}")
+    lam = min(counts[g] / p for g, p in props.items())
+    quotas = {g: int(lam * p) for g, p in props.items()}
+    h = _keyed_hash(key_col, seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    quota_col = F.create_map(
+        *[F.lit(x) for g, q in sorted(quotas.items()) for x in (g, q)]
+    )
+    return (
+        df.where(F.col(group_col).isin(list(props)))
+        .withColumn("_srank", F.row_number().over(w))
+        .where(F.col("_srank") <= quota_col[F.col(group_col)])
+        .drop("_srank")
+    )

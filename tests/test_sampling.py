@@ -86,3 +86,42 @@ def test_pack_sequences_joins_full_rows(transcripts):
     out = pack_sequences(tok, "n_tok", budget, order_col="docID")
     assert out.count() == transcripts.count()
     assert {"pack_id", "pack_offset", "text"} <= set(out.columns)
+
+
+def test_mixture_sample_exact_proportions(spark):
+    from neural_search_spark.ops.sampling import mixture_sample
+
+    rows = [(i, ["en", "code", "math"][i % 6 % 3 if i % 6 < 3 else 0]) for i in range(300)]
+    # make groups skewed: en gets extras
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    counts = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    weights = {"en": 0.5, "code": 0.3, "math": 0.2}
+    out = mixture_sample(df, "lang", weights, seed="s1")
+    got = {r["lang"]: r["doc_id"] for r in out.collect()}  # just to force
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["lang"], set()).add(r["doc_id"])
+    lam = min(counts[g] / w for g, w in weights.items())
+    expected_quota = {g: int(lam * w) for g, w in weights.items()}
+    assert {g: len(v) for g, v in by_g.items()} == expected_quota
+    # proportions hold to within rounding
+    tot = sum(expected_quota.values())
+    for g, w in weights.items():
+        assert abs(expected_quota[g] / tot - w) < 0.02
+    # deterministic membership: python mirror of the hash order
+    for g, members in by_g.items():
+        ids = sorted((d for d, gg in rows if gg == g))
+        ordered = sorted(ids, key=lambda d: (_h60(d, "s1"), d))
+        assert members == set(ordered[: expected_quota[g]])
+    # same seed → same rows; different seed → different rows (usually)
+    again = {(r["lang"], r["doc_id"]) for r in mixture_sample(df, "lang", weights, seed="s1").collect()}
+    assert again == {(g, d) for g, v in by_g.items() for d in v}
+    # unknown group in weights → error; empty → error
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixture_sample(df, "lang", {"xx": 1.0})
+    with _pt.raises(ValueError):
+        mixture_sample(df, "lang", {})
