@@ -857,6 +857,12 @@ def q_hash_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line fraction, top-token share,
+    dup-2gram fraction) — pure codegen columns, zero shuffle."""
+    return ops.repetition_features(_docs(spark, sf_dir))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Domain-mixture resampling (ops/sampling.py mixture_sample): the
     largest deterministic subsample whose lang distribution matches
@@ -2826,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
+        "repetition_features": q_repetition_features,
         "pack_sequences": q_pack_sequences,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
@@ -3074,6 +3081,25 @@ def oracle_sql() -> dict[str, str]:
     select doc_id, lang from documents
     where ('0x' || substr(md5(doc_id::VARCHAR || '#{SAMPLE_SEED}'), 1, 15))::BIGINT
           < {int(SAMPLE_RATE * (1 << 60))}""",
+        "repetition_features": """
+    with t as (select doc_id, text,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') as toks,
+                      string_split(text, chr(10)) as lines
+               from documents)
+    select doc_id,
+           case when len(lines) > 0
+                then round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+                else 0.0 end as dup_line_frac,
+           case when len(toks) > 0
+                then round(list_max(list_transform(list_distinct(toks),
+                       d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks), 6)
+                else 0.0 end as top_token_share,
+           case when len(toks) >= 2
+                then round(1.0 - len(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE / (len(toks) - 1), 6)
+                else 0.0 end as dup_2gram_frac
+    from t""",
         "mixture_sample": f"""
     with w as (select * from (values {", ".join(f"('{g}', {p!r}::DOUBLE)" for g, p in sorted(MIX_WEIGHTS.items()))}) as t(lang, p)),
     c as (select lang, count(*)::DOUBLE as n from documents

@@ -9,6 +9,7 @@ from neural_search_spark.ops.text import (  # noqa: F401
     hash60,
     lang_id,
     quality_features,
+    repetition_features,
     token_count,
     content_fingerprint,
 )

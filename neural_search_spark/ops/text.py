@@ -42,6 +42,53 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals, pure columns (JVM codegen, no
+    shuffle, DuckDB-mirrorable):
+
+    - dup_line_frac:  1 − distinct lines / lines ("\\n"-split)
+    - top_token_share: occurrences of the most frequent token / tokens
+    - dup_2gram_frac: 1 − distinct word 2-grams / 2-grams
+
+    The Gopher filter drops docs with dup_line_frac > 0.3 or high top
+    n-gram shares; thresholds stay with the caller. The per-doc token
+    count-of-counts is O(distinct·tokens) inside one row — fine for
+    document-sized rows, and no cross-row state anywhere."""
+    toks = tokenize_col(text_col)
+    n = F.size(toks)
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    top_share = F.when(
+        n > 0, F.array_max(counts) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_grams = F.size(grams)
+    dup_gram = F.when(
+        n_grams > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        F.round(top_share, 6).alias("top_token_share"),
+        F.round(dup_gram, 6).alias("dup_2gram_frac"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality signals: length, alpha ratio, stopword ratio, distinct
     ratio, and a composite quality score. Mirrors the heuristics a
