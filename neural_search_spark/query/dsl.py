@@ -666,19 +666,42 @@ class QueryEngine:
             boost = float(body.get("boost", 1.0))
             weights = [self._lexical_weights(q) for q in subs]
             if prefilter is None and len(subs) >= 2 and all(w is not None for w in weights):
-                # all-lexical disjunction: ONE fused postings scan scores
-                # every sub-query (same path as hybrid) instead of n scans
-                union = hybrid_mod.fused_bm25_subquery_scores(
-                    self.tables, weights
-                ).select("docID", "score")
-            else:
-                frames = [
-                    self._score(q, prefilter, in_hybrid=in_hybrid, k=k)
-                    for q in subs
-                ]
-                union = frames[0]
-                for fdf_ in frames[1:]:
-                    union = union.unionByName(fdf_)
+                # all-lexical disjunction: ONE fused postings scan AND one
+                # docID-keyed exchange — per-subquery sums as conditional
+                # aggregates (map-side combinable) over the pre-aggregation
+                # parts frame, then greatest/sum ACROSS the n columns.
+                # A doc not matching sub-query i leaves _s{i} NULL, which
+                # greatest() skips — exactly "max over matching sub-scores".
+                parts = hybrid_mod.fused_bm25_subquery_parts(self.tables, weights)
+                n_subs = len(subs)
+                sums = parts.groupBy("docID").agg(
+                    *[
+                        F.sum(
+                            F.when(F.col("subquery_idx") == i, F.col("part"))
+                        ).alias(f"_s{i}")
+                        for i in range(n_subs)
+                    ]
+                )
+                sub_cols = [F.col(f"_s{i}") for i in range(n_subs)]
+                mx = (
+                    F.greatest(*sub_cols) if n_subs > 1 else sub_cols[0]
+                )
+                total = sum(
+                    (F.coalesce(c, F.lit(0.0)) for c in sub_cols), F.lit(0.0)
+                )
+                return sums.select(
+                    "docID",
+                    (
+                        (mx + F.lit(tie) * (total - mx)) * F.lit(boost)
+                    ).alias("score"),
+                )
+            frames = [
+                self._score(q, prefilter, in_hybrid=in_hybrid, k=k)
+                for q in subs
+            ]
+            union = frames[0]
+            for fdf_ in frames[1:]:
+                union = union.unionByName(fdf_)
             # each sub-query contributes ≤1 row per doc, so max/sum per
             # docID is exactly DisjunctionMaxQuery's combiner; one shuffle
             agg = union.groupBy("docID").agg(

@@ -101,6 +101,25 @@ def fused_bm25_subquery_scores(
     scan; the per-(subquery, doc) aggregation is one shuffle keyed on
     (subquery_idx, docID). Collection stats stay global per the reference
     (query/HybridQuery.java:43-60)."""
+    return (
+        fused_bm25_subquery_parts(index, subqueries, k1=k1, b=b)
+        .groupBy("subquery_idx", "docID")
+        .agg(F.sum("part").alias("score"))
+    )
+
+
+def fused_bm25_subquery_parts(
+    index: IndexTables,
+    subqueries: list[dict[str, float] | list[str]],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Pre-aggregation variant of fused_bm25_subquery_scores: the same ONE
+    IN-list-pushed postings scan, returning per-posting (subquery_idx,
+    docID, part) rows BEFORE any exchange. Callers that combine sub-query
+    scores per doc (dis_max) can aggregate these with per-subquery
+    conditional sums in a single docID-keyed groupBy — one exchange total
+    instead of (subquery_idx, docID) + docID chained exchanges."""
     spark = index.postings.sparkSession
     m = index.meta.first()
     n_docs = m["N"]
@@ -124,11 +143,7 @@ def fused_bm25_subquery_scores(
     if "dl" not in cand.columns:
         cand = cand.join(index.doclens, "docID")
     part = F.col("w_idf") * bm25_score_col(F.col("tf"), F.col("dl"), F.lit(avgdl), k1, b)
-    return (
-        cand.select("subquery_idx", "docID", part.alias("part"))
-        .groupBy("subquery_idx", "docID")
-        .agg(F.sum("part").alias("score"))
-    )
+    return cand.select("subquery_idx", "docID", part.alias("part"))
 
 
 def normalize_scores(
