@@ -626,6 +626,13 @@ def q_term_suggest(spark, sf_dir):
     return suggest.term_suggest(t.term_stats, SUGGEST_VALUE, size=5)
 
 
+def q_completion_suggest(spark, sf_dir):
+    """Completion suggester (search-as-you-type): dictionary terms with the
+    prefix, df desc / term asc — pushed prefix scan + bounded top-k."""
+    t = _index(spark, sf_dir)
+    return suggest.completion_suggest(t.term_stats, PREFIX_VALUE, size=5)
+
+
 def q_sparse_linear_top10(spark, sf_dir):
     t = _index(spark, sf_dir)
     weights = t.postings.select("term", F.col("docID"), F.col("tf").cast("double").alias("weight"))
@@ -2799,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_top10": q_regexp_top10,
         "terms_set_top10": q_terms_set_top10,
         "term_suggest": q_term_suggest,
+        "completion_suggest": q_completion_suggest,
         "sparse_linear_top10": q_sparse_linear_top10,
         "two_phase_sparse_top10": q_two_phase_sparse_top10,
         "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
@@ -3038,6 +3046,11 @@ def oracle_sql() -> dict[str, str]:
   select row_number() over (order by distance asc, df desc, term asc)::BIGINT as rank,
          term as suggestion, distance, df
   from cand order by distance asc, df desc, term asc limit 5""",
+        "completion_suggest": f"""with {SQL_INDEX_CTES}
+  select row_number() over (order by df desc, term asc)::BIGINT as rank,
+         term as suggestion, df
+  from stats where term like '{PREFIX_VALUE}%'
+  order by df desc, term asc limit 5""",
         "sparse_linear_top10": f"""with {SQL_INDEX_CTES},
   q as {_sql_values(Q_SPARSE)},
   scored as (

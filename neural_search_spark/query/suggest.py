@@ -57,3 +57,27 @@ def term_suggest(
         "rank", F.col("term").alias("suggestion"),
         F.col("distance").cast("long").alias("distance"), F.col("df").cast("long").alias("df"),
     )
+
+
+def completion_suggest(
+    term_stats: DataFrame,
+    prefix: str,
+    size: int = 5,
+) -> DataFrame:
+    """Completion suggester (search-as-you-type): dictionary terms starting
+    with `prefix`, ranked df desc / term asc — popularity-first, like the
+    completion suggester's default weight ordering. (rank, suggestion, df).
+
+    Scale shape: StringStartsWith pushes into the dictionary scan;
+    TakeOrderedAndProject bounds the result — no global sort. The
+    OpenSearch completion suggester uses a dedicated FST field; over a
+    vocabulary-sized dictionary table the pushed prefix scan is the
+    Spark-idiomatic equivalent."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    cand = term_stats.where(F.col("term").startswith(prefix))
+    top = cand.orderBy(F.col("df").desc(), F.col("term").asc()).limit(size)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", F.col("term").alias("suggestion"), F.col("df").cast("long").alias("df")
+    )

@@ -47,3 +47,28 @@ def test_term_suggest_matches_oracle(transcripts, index_tables):
 def test_term_suggest_excludes_exact_hit(transcripts, index_tables):
     out = term_suggest(index_tables.term_stats, "merge", size=10).collect()
     assert all(r["suggestion"] != "merge" for r in out)
+
+
+def test_completion_suggest(index_tables, transcripts):
+    from collections import Counter
+
+    from neural_search_spark.analysis.tokenizer import tokenize_py
+    from neural_search_spark.query.suggest import completion_suggest
+
+    docs = {r["docID"]: r["text"] for r in transcripts.select("docID", "text").collect()}
+    df_counts = Counter()
+    for text in docs.values():
+        for t in set(tokenize_py(text)):
+            df_counts[t] += 1
+    prefix = "s"
+    expected = sorted(
+        ((t, c) for t, c in df_counts.items() if t.startswith(prefix)),
+        key=lambda x: (-x[1], x[0]),
+    )[:4]
+    got = completion_suggest(index_tables.term_stats, prefix, size=4).collect()
+    assert [(r["suggestion"], r["df"]) for r in sorted(got, key=lambda r: r["rank"])] == expected
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        completion_suggest(index_tables.term_stats, "", size=4)
