@@ -1494,6 +1494,12 @@ class QueryEngine:
                              "short": {"range": {"column": "n_chars", "lt": 100}},
                              "en": {"eq": ["lang", "en"]}}}},
              "best":     {"top_hits": {"group_by": "source", "size": 2}},
+             "adj":      {"adjacency_matrix": {"filters": {...}}},
+             "dr":       {"date_range": {"field": "ts", "ranges": [
+                             {"to": "2024-01-01 06:00:00"}, ...]}},
+             "miss":     {"missing": {"field": c}},
+             "wavg":     {"weighted_avg": {"value": {"field": v},
+                                           "weight": {"field": w}}},
              "page":     {"composite": {"sources": [
                              {"src": {"terms": {"field": "source"}}},
                              {"lg": {"terms": {"field": "lang"}}}],
