@@ -1190,6 +1190,21 @@ def q_query_composite_agg(spark, sf_dir):
     return aggs["page"]
 
 
+PR_VALUES = [120.0, 200.0, 300.0]  # percentile_ranks probe points
+
+
+def q_query_percentile_ranks_agg(spark, sf_dir):
+    """percentile_ranks agg (inverse CDF probes): % of matched docs with
+    n_chars <= each value — one conditional-sum pass, no sort."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"pr": {"percentile_ranks": {"field": "n_chars", "values": PR_VALUES}}},
+        k=K,
+    )
+    return aggs["pr"].select("value", F.round("percent", 6).alias("percent"))
+
+
 def q_query_adjacency_agg(spark, sf_dir):
     """adjacency_matrix agg: per-filter buckets + pair intersections in one
     conditional-count pass; zero-doc buckets omitted."""
@@ -2861,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_composite_agg": q_query_composite_agg,
         "query_weighted_avg_agg": q_query_weighted_avg_agg,
         "query_adjacency_agg": q_query_adjacency_agg,
+        "query_percentile_ranks_agg": q_query_percentile_ranks_agg,
         "query_stats_agg": q_query_stats_agg,
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
@@ -3440,6 +3456,16 @@ def oracle_sql() -> dict[str, str]:
   select d.lang as key, count(*)::BIGINT as doc_count
   from documents d join matching m on d.doc_id = m.doc_id
   group by 1""",
+        "query_percentile_ranks_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  ),
+  md as (select d.n_chars from documents d join matching m on d.doc_id = m.doc_id),
+  cells as ({" union all ".join(
+      f"select {v!r}::DOUBLE as value, round(sum(case when n_chars <= {v!r} then 1 else 0 end) * 100.0 / count(*), 6) as percent from md"
+      for v in PR_VALUES)})
+  select value, percent from cells""",
         "query_adjacency_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (

@@ -1719,6 +1719,33 @@ class QueryEngine:
                     F.avg(field).alias("avg"),
                     F.sum(field).alias("sum"),
                 )
+            elif akind == "percentile_ranks":
+                # inverse of percentiles: for each given value, the percent
+                # of matched docs with field ≤ value — one conditional-sum
+                # pass (CDF evaluation), no sort
+                values = body.get("values")
+                if not isinstance(values, (list, tuple)) or not values:
+                    raise QueryValidationError(
+                        "percentile_ranks needs a non-empty 'values' list"
+                    )
+                vcol = F.col(field).cast("double")
+                row = match_docs.where(vcol.isNotNull()).agg(
+                    F.count("*").alias("_n"),
+                    *[
+                        F.sum(
+                            F.when(vcol <= F.lit(float(v)), F.lit(1)).otherwise(F.lit(0))
+                        ).alias(f"_v{i}")
+                        for i, v in enumerate(values)
+                    ],
+                )
+                # 100D: a plain 100.0 literal is DecimalType in Spark SQL
+                # and would poison the division into decimal arithmetic
+                stack_args = ", ".join(
+                    f"{float(v)!r}D, _v{i} * 100D / _n" for i, v in enumerate(values)
+                )
+                out[name] = row.select(
+                    F.expr(f"stack({len(values)}, {stack_args}) as (value, percent)")
+                )
             elif akind == "missing":
                 # count of matched docs WITHOUT a value for the field
                 out[name] = match_docs.agg(

@@ -448,3 +448,22 @@ def test_date_range_agg(engine, transcripts):
             Q, {"dr": {"date_range": {"field": "turn_idx",
                                       "ranges": [{"to": cut}]}}}
         )
+
+
+def test_percentile_ranks_agg(engine, transcripts):
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    matched = _match_rows(transcripts)
+    vals = [2.0, 5.0, 9.0]
+    _, aggs = engine.search_with_aggs(
+        Q, {"pr": {"percentile_ranks": {"field": "turn_idx", "values": vals}}}
+    )
+    got = {r["value"]: r["percent"] for r in aggs["pr"].collect()}
+    n = len(matched)
+    for v in vals:
+        exp = 100.0 * sum(1 for r in matched if r["turn_idx"] <= v) / n
+        assert got[v] == pytest.approx(exp, rel=1e-12)
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(
+            Q, {"pr": {"percentile_ranks": {"field": "turn_idx", "values": []}}}
+        )
