@@ -971,6 +971,23 @@ def q_cosine_top10(spark, sf_dir):
     )
 
 
+def q_int8_cosine_top10(spark, sf_dir):
+    """Exact cosine top-10 over INT8-QUANTIZED vectors (per-vector
+    symmetric ⌊v/scale+0.5⌋, scale = max|v|/127): cosine is scale-
+    invariant per vector, so the 4×-smaller codes need no dequantize —
+    the vector-compression path for 100 TB embedding tables."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qz = ops.quantize_embeddings_int8(emb)
+    return ops.cosine_int8_topk(qz, [float(x) for x in qvec], k=K).select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_lsh_cosine_top10(spark, sf_dir):
     """ANN scale path: bucket computed at INDEX time (lsh_index; at scale a
     partition/cluster key of the stored table), query probes only the
@@ -2865,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_delimiter_limited": q_chunk_delimiter_limited,
         "chunk_fixed_whitespace_limited": q_chunk_fixed_whitespace_limited,
         "cosine_top10": q_cosine_top10,
+        "int8_cosine_top10": q_int8_cosine_top10,
         "lsh_cosine_top10": q_lsh_cosine_top10,
         "ivf_cosine_top10": q_ivf_cosine_top10,
         "total_hits_relation": q_total_hits_relation,
@@ -3285,6 +3303,21 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                     * sqrt(list_dot_product(qe, qe))), 6) as cosine
     from embeddings, q
+  )
+  {_sql_rank("scored", "cosine", "vec_id", K)}""",
+        "int8_cosine_top10": f"""
+  with q as (select embedding::DOUBLE[] as qe from embeddings where vec_id = 0),
+  qz as (select vec_id, embedding::DOUBLE[] as e,
+                case when list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
+                     then list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                     else 1.0 end as scale
+         from embeddings),
+  codes as (select vec_id, list_transform(e, x -> floor(x / scale + 0.5)) as c from qz),
+  scored as (
+    select vec_id,
+           round(list_dot_product(c, qe)
+                 / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qe, qe))), 6) as cosine
+    from codes, q
   )
   {_sql_rank("scored", "cosine", "vec_id", K)}""",
         "lsh_cosine_top10": _oracle_lsh_cosine(),

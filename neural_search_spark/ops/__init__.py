@@ -27,7 +27,12 @@ from neural_search_spark.ops.chunking import (  # noqa: F401
     chunk_delimiter,
     chunk_fixed_token_length,
 )
-from neural_search_spark.ops.similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
+from neural_search_spark.ops.similarity import (  # noqa: F401
+    cosine_int8_topk,
+    cosine_topk,
+    lsh_cosine_topk,
+    quantize_embeddings_int8,
+)
 from neural_search_spark.ops.sampling import (  # noqa: F401
     hash_sample,
     mixture_sample,

@@ -344,3 +344,52 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: (id, codes array<int> in
+    [-127, 127], scale double) with codes = ⌊v/scale + 0.5⌋, scale =
+    max|v|/127 (all-zero vector → scale 1, zero codes).
+
+    The 100 TB story: cosine is invariant to per-vector scaling, so
+    quantized search needs NO dequantize — the stored vector payload
+    shrinks 4× vs float32 (8× vs float64) and the scan/shuffle shrink with
+    it; `scale` is kept only for callers that need magnitudes back.
+    ⌊x + 0.5⌋ is used instead of round() so Spark and any SQL oracle agree
+    bit-for-bit (round() half-case conventions differ across engines)."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )
+    return emb.select(
+        F.col(id_col), codes.alias("codes"), scale.alias("scale")
+    )
+
+
+def cosine_int8_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(rank, id, cosine) top-k by cosine(query, int8 codes) — the same
+    codegen fold as cosine_topk over the 4×-smaller quantized column; the
+    FLOAT query vector needs no quantization (only the stored side pays
+    the memory bill). Recall vs exact float cosine degrades only by the
+    quantization angle error (≤ ~0.6° at int8), pinned by test."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    c = F.col(codes_col)
+    cos = F.round(_dot(c, q) / (_norm(c) * _norm(q)), 9)
+    scored = codes_df.select(F.col(id_col), cos.alias("cosine"))
+    top = scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", id_col, "cosine")

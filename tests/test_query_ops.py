@@ -1032,3 +1032,51 @@ def test_hybrid_batch_rrf_matches_per_query(spark, index_tables):
         assert [(r["docID"], round(r["score"], 9)) for r in rows] == [
             (r["docID"], round(r["score"], 9)) for r in exp
         ], qid
+
+
+def test_int8_quantized_cosine(spark):
+    """Int8 symmetric quantization: codes match the python mirror exactly,
+    quantized cosine tracks exact cosine (≤ ~1% error on random vectors),
+    and recall@10 vs exact is high."""
+    import math
+
+    import numpy as np
+
+    from neural_search_spark.ops.similarity import (
+        cosine_int8_topk,
+        cosine_topk,
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    qz = quantize_embeddings_int8(emb).persist()
+
+    got = {r["vec_id"]: (list(r["codes"]), r["scale"]) for r in qz.collect()}
+    for i, v in rows[:50]:
+        absmax = max(abs(x) for x in v)
+        scale = absmax / 127.0 if absmax > 0 else 1.0
+        codes = [math.floor(x / scale + 0.5) for x in v]
+        assert got[i][0] == codes, i
+        assert got[i][1] == pytest.approx(scale, rel=1e-12)
+        assert all(-127 <= c <= 127 for c in codes)
+
+    q = rows[3][1]
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, q, k=20).collect()}
+    quant = {r["vec_id"]: r["cosine"] for r in cosine_int8_topk(qz, q, k=20).collect()}
+    # top hit is the query vector itself in both
+    assert max(quant, key=quant.get) == 3
+    recall = len(set(list(exact)[:10]) & set(list(quant)[:10]))
+    overlap = len(set(exact) & set(quant))
+    for vid in set(exact) & set(quant):
+        assert quant[vid] == pytest.approx(exact[vid], abs=0.01)
+    assert overlap >= 16  # 20-lists nearly identical
+
+    # zero vector quantizes to zero codes with scale 1 and never errors
+    z = spark.createDataFrame(
+        [(0, [0.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings_int8(z).first()
+    assert list(r["codes"]) == [0, 0, 0, 0] and r["scale"] == 1.0
