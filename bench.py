@@ -120,6 +120,7 @@ QNAMES = [
     "simhash",
     "simhash_pairs",
     "cosine_top10",
+    "int8_cosine_top10",
     "lsh_cosine_top10",
     "chunk_fixed_token_length",
 ]
