@@ -1210,6 +1210,21 @@ def q_query_composite_agg(spark, sf_dir):
 PR_VALUES = [120.0, 200.0, 300.0]  # percentile_ranks probe points
 
 
+def q_query_global_agg(spark, sf_dir):
+    """global agg: the corpus-wide average n_chars alongside the query's
+    matched average — the compare-to-corpus denominator in one request."""
+    eng = _neural_engine(spark, sf_dir)
+    _, aggs = eng.search_with_aggs(
+        {"match": {"text": {"query": Q_MATCH_TEXT}}},
+        {"all_avg": {"global": {"agg": {"avg": {"field": "n_chars"}}}},
+         "match_avg": {"avg": {"field": "n_chars"}}},
+        k=K,
+    )
+    a = aggs["all_avg"].select(F.round("value", 6).alias("all_avg"))
+    b = aggs["match_avg"].select(F.round("value", 6).alias("match_avg"))
+    return a.crossJoin(b)
+
+
 def q_query_percentile_ranks_agg(spark, sf_dir):
     """percentile_ranks agg (inverse CDF probes): % of matched docs with
     n_chars <= each value — one conditional-sum pass, no sort."""
@@ -2895,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_weighted_avg_agg": q_query_weighted_avg_agg,
         "query_adjacency_agg": q_query_adjacency_agg,
         "query_percentile_ranks_agg": q_query_percentile_ranks_agg,
+        "query_global_agg": q_query_global_agg,
         "query_stats_agg": q_query_stats_agg,
         "significant_terms_agg": q_significant_terms_agg,
         "bm25_rescore_top10": q_bm25_rescore_top10,
@@ -3489,6 +3505,14 @@ def oracle_sql() -> dict[str, str]:
   select d.lang as key, count(*)::BIGINT as doc_count
   from documents d join matching m on d.doc_id = m.doc_id
   group by 1""",
+        "query_global_agg": f"""
+  with {SQL_INDEX_CTES},
+  matching as (
+    select distinct doc_id from postings where term in ('spark', 'join', 'window')
+  )
+  select (select round(avg(n_chars), 6) from documents) as all_avg,
+         (select round(avg(d.n_chars), 6)
+          from documents d join matching m on d.doc_id = m.doc_id) as match_avg""",
         "query_percentile_ranks_agg": f"""
   with {SQL_INDEX_CTES},
   matching as (

@@ -1533,7 +1533,7 @@ class QueryEngine:
             field = body.get("field")
             if field is None and akind not in (
                 "filters", "adjacency_matrix", "top_hits", "composite",
-                "weighted_avg",
+                "weighted_avg", "global",
             ):
                 raise QueryValidationError(f"{akind} aggregation needs a 'field'")
             if akind == "terms":
@@ -1719,6 +1719,20 @@ class QueryEngine:
                     F.avg(field).alias("avg"),
                     F.sum(field).alias("sum"),
                 )
+            elif akind == "global":
+                # OpenSearch global agg: the inner agg runs over ALL docs,
+                # ignoring the query — the "compare my match set to the
+                # whole corpus" denominator. Evaluated by re-entering with
+                # match_all; the discarded hit frame is lazy and never runs.
+                inner = body.get("agg")
+                if not isinstance(inner, dict) or len(inner) != 1:
+                    raise QueryValidationError(
+                        "global aggregation needs exactly one inner 'agg'"
+                    )
+                _, inner_aggs = self.search_with_aggs(
+                    {"match_all": {}}, {name: inner}, k=1
+                )
+                out[name] = inner_aggs[name]
             elif akind == "percentile_ranks":
                 # inverse of percentiles: for each given value, the percent
                 # of matched docs with field ≤ value — one conditional-sum

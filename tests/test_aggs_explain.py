@@ -467,3 +467,18 @@ def test_percentile_ranks_agg(engine, transcripts):
         engine.search_with_aggs(
             Q, {"pr": {"percentile_ranks": {"field": "turn_idx", "values": []}}}
         )
+
+
+def test_global_agg_ignores_query(engine, transcripts):
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    n_all = transcripts.count()
+    _, aggs = engine.search_with_aggs(
+        Q, {"everything": {"global": {"agg": {"count": {"field": "docID"}}}},
+            "matched": {"count": {"field": "docID"}}}
+    )
+    assert aggs["everything"].first()["value"] == n_all
+    assert aggs["matched"].first()["value"] == len(_match_rows(transcripts))
+    assert aggs["matched"].first()["value"] < n_all
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(Q, {"g": {"global": {}}})
