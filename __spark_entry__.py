@@ -47,6 +47,9 @@ PREFIX_VALUE = "s"  # scoring_boolean expansion: scan slow small sort spark stre
 WILDCARD_VALUE, WILDCARD_BOOST = "s*a*", 1.5  # LIKE 's%a%'
 FUZZY_VALUE, FUZZY_MAXD = "port", 1  # Levenshtein ≤1: part, sort
 REGEXP_VALUE, REGEXP_BOOST = "s(o|pa)r[tk]", 1.25  # anchored: sort, spark
+# top-level alternation: literal-prefix pushdown must be disabled (round-4
+# ADVICE high fix — the old code pushed 'sort' and dropped the other branch)
+REGEXP_ALT_VALUE = "sort|spark|shuffl.*"
 TS_TERMS = ["merge", "sort", "spark", "vector"]  # terms_set candidates
 TS_MSM_MOD = 3  # per-doc required matches = doc_id % 3 + 1
 SUGGEST_VALUE = "sart"  # → sort(d1), then d2 ties {scan, spark} ranked by df
@@ -600,6 +603,20 @@ def q_regexp_top10(spark, sf_dir):
     s = multiterm.multiterm_score_all(
         t.postings, t.doclens, t.term_stats, t.meta,
         "regexp", REGEXP_VALUE, boost=REGEXP_BOOST,
+    )
+    return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
+
+
+def q_regexp_alternation_top10(spark, sf_dir):
+    """regexp with a TOP-LEVEL alternation ('sort|spark|shuffl.*'): no
+    literal prefix is shared by all branches, so dictionary pushdown is
+    disabled entirely and the anchored pattern alone selects terms
+    (guards the round-4 ADVICE regression: prefix 'sort' silently dropped
+    the other branches)."""
+    t = _index(spark, sf_dir)
+    s = multiterm.multiterm_score_all(
+        t.postings, t.doclens, t.term_stats, t.meta,
+        "regexp", REGEXP_ALT_VALUE, boost=REGEXP_BOOST,
     )
     return _ranked(s.withColumnRenamed("docID", "doc_id"), "score", "doc_id", K)
 
@@ -2818,90 +2835,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS DELIBERATE (round-5 task 1): the driver's per-round
+    # correctness capture is width-limited to roughly the first 50 keys, so
+    # the 30 entries that had never appeared in any driver capture through
+    # round 4 (third/fourth-wave aggs, compound queries, percolate,
+    # sampling, int8, ML-embedding surfaces) come FIRST, followed by a
+    # representative core (bm25/wand/hybrid/sparse/neural/dedup) so the
+    # flagship paths keep a fresh driver-green row too. Earlier rounds'
+    # green rows (CORRECTNESS_r0{2,3,4}.json) cover the tail.
     return {
-        "token_term_counts": q_token_term_counts,
-        "analyzed_term_counts": q_analyzed_term_counts,
-        "term_doc_freq": q_term_doc_freq,
-        "doclens": q_doclens,
-        "collection_meta": q_collection_meta,
-        "positional_postings": q_positional_postings,
-        "phrase_top10": q_phrase_top10,
-        "phrase_prefix_top10": q_phrase_prefix_top10,
-        "span_near_top10": q_span_near_top10,
-        "span_unordered_top10": q_span_unordered_top10,
-        "synonym_top10": q_synonym_top10,
-        "mlt_top10": q_mlt_top10,
-        "collapse_top10": q_collapse_top10,
-        "highlight": q_highlight,
-        "bm25_deleted_top10": q_bm25_deleted_top10,
-        "decontaminate": q_decontaminate,
-        "bm25_top10": q_bm25_top10,
-        "bm25_weighted_top10": q_bm25_weighted_top10,
-        "bm25_batch_top5": q_bm25_batch_top5,
-        "rank_eval_batch": q_rank_eval_batch,
-        "sparse_batch_top5": q_sparse_batch_top5,
-        "hybrid_batch_top5": q_hybrid_batch_top5,
-        "hybrid_rrf_batch_top5": q_hybrid_rrf_batch_top5,
-        "bm25_wand_top10": q_bm25_wand_top10,
-        "bm25_prefilter_top10": q_bm25_prefilter_top10,
-        "bm25_post_filter_top10": q_bm25_post_filter_top10,
-        "match_msm_top10": q_match_msm_top10,
-        "bool_should_top10": q_bool_should_top10,
-        "prefix_scoring_top10": q_prefix_scoring_top10,
-        "wildcard_top10": q_wildcard_top10,
-        "fuzzy_top10": q_fuzzy_top10,
-        "regexp_top10": q_regexp_top10,
-        "terms_set_top10": q_terms_set_top10,
-        "term_suggest": q_term_suggest,
-        "completion_suggest": q_completion_suggest,
-        "sparse_linear_top10": q_sparse_linear_top10,
-        "two_phase_sparse_top10": q_two_phase_sparse_top10,
-        "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
-        "hybrid_sorted_top10": q_hybrid_sorted_top10,
-        "hybrid_l2_geometric": q_hybrid_l2_geometric,
-        "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
-        "hybrid_rrf_top10": q_hybrid_rrf_top10,
-        "range_query_hits": q_range_query_hits,
-        "terms_query_hits": q_terms_query_hits,
-        "neural_top10": q_neural_top10,
-        "neural_radial": q_neural_radial,
-        "neural_rescore_top10": q_neural_rescore_top10,
-        "neural_query_text_top10": q_neural_query_text_top10,
-        "pipeline_rerank_top10": q_pipeline_rerank_top10,
-        "doc_embeddings": q_doc_embeddings,
-        "doc_sparse_embedding": q_doc_sparse_embedding,
-        "doc_text_image_embeddings": q_doc_text_image_embeddings,
-        "hybrid_neural_match": q_hybrid_neural_match,
-        "hybrid_with_aggs": q_hybrid_with_aggs,
-        "rerank_by_field": q_rerank_by_field,
-        "ml_rerank_top10": q_ml_rerank_top10,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "lsh_jaccard_verified": q_lsh_jaccard_verified,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "repetition_features": q_repetition_features,
-        "pack_sequences": q_pack_sequences,
-        "quality_features": q_quality_features,
-        "lang_id": q_lang_id,
-        "content_fingerprint": q_content_fingerprint,
-        "chunk_fixed_token_length": q_chunk_fixed,
-        "chunk_delimiter": q_chunk_delimiter,
-        "chunk_delimiter_limited": q_chunk_delimiter_limited,
-        "chunk_fixed_whitespace_limited": q_chunk_fixed_whitespace_limited,
-        "cosine_top10": q_cosine_top10,
-        "int8_cosine_top10": q_int8_cosine_top10,
-        "lsh_cosine_top10": q_lsh_cosine_top10,
-        "ivf_cosine_top10": q_ivf_cosine_top10,
-        "total_hits_relation": q_total_hits_relation,
-        "query_with_aggs": q_query_with_aggs,
+        # -- never-driver-verified through r4: rotate into the window ------
         "query_percentiles_agg": q_query_percentiles_agg,
         "query_histogram_agg": q_query_histogram_agg,
         "query_filters_agg": q_query_filters_agg,
@@ -2923,6 +2866,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_groups_top5": q_source_groups_top5,
         "percolate_matches": q_percolate_matches,
         "percolate_stream_matches": q_percolate_stream_matches,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "repetition_features": q_repetition_features,
+        "pack_sequences": q_pack_sequences,
+        "int8_cosine_top10": q_int8_cosine_top10,
+        "doc_sparse_embedding": q_doc_sparse_embedding,
+        "doc_text_image_embeddings": q_doc_text_image_embeddings,
+        "ml_rerank_top10": q_ml_rerank_top10,
+        # -- new this round (guards the r4 ADVICE regexp-alternation fix) --
+        "regexp_alternation_top10": q_regexp_alternation_top10,
+        # -- representative core kept inside the capture window ------------
+        "bm25_top10": q_bm25_top10,
+        "bm25_wand_top10": q_bm25_wand_top10,
+        "bm25_weighted_top10": q_bm25_weighted_top10,
+        "bm25_prefilter_top10": q_bm25_prefilter_top10,
+        "hybrid_minmax_arithmetic": q_hybrid_minmax_arithmetic,
+        "hybrid_rrf_top10": q_hybrid_rrf_top10,
+        "hybrid_batch_top5": q_hybrid_batch_top5,
+        "sparse_linear_top10": q_sparse_linear_top10,
+        "two_phase_sparse_top10": q_two_phase_sparse_top10,
+        "neural_top10": q_neural_top10,
+        "regexp_top10": q_regexp_top10,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_jaccard_verified": q_lsh_jaccard_verified,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_top10": q_cosine_top10,
+        "decontaminate": q_decontaminate,
+        "token_term_counts": q_token_term_counts,
+        "term_doc_freq": q_term_doc_freq,
+        "phrase_top10": q_phrase_top10,
+        # -- tail: driver-green in earlier rounds (r2/r3/r4 captures) -------
+        "analyzed_term_counts": q_analyzed_term_counts,
+        "doclens": q_doclens,
+        "collection_meta": q_collection_meta,
+        "positional_postings": q_positional_postings,
+        "phrase_prefix_top10": q_phrase_prefix_top10,
+        "span_near_top10": q_span_near_top10,
+        "span_unordered_top10": q_span_unordered_top10,
+        "synonym_top10": q_synonym_top10,
+        "mlt_top10": q_mlt_top10,
+        "collapse_top10": q_collapse_top10,
+        "highlight": q_highlight,
+        "bm25_deleted_top10": q_bm25_deleted_top10,
+        "bm25_batch_top5": q_bm25_batch_top5,
+        "rank_eval_batch": q_rank_eval_batch,
+        "sparse_batch_top5": q_sparse_batch_top5,
+        "hybrid_rrf_batch_top5": q_hybrid_rrf_batch_top5,
+        "bm25_post_filter_top10": q_bm25_post_filter_top10,
+        "match_msm_top10": q_match_msm_top10,
+        "bool_should_top10": q_bool_should_top10,
+        "prefix_scoring_top10": q_prefix_scoring_top10,
+        "wildcard_top10": q_wildcard_top10,
+        "fuzzy_top10": q_fuzzy_top10,
+        "terms_set_top10": q_terms_set_top10,
+        "term_suggest": q_term_suggest,
+        "completion_suggest": q_completion_suggest,
+        "hybrid_sorted_top10": q_hybrid_sorted_top10,
+        "hybrid_l2_geometric": q_hybrid_l2_geometric,
+        "hybrid_minmax_harmonic": q_hybrid_minmax_harmonic,
+        "range_query_hits": q_range_query_hits,
+        "terms_query_hits": q_terms_query_hits,
+        "neural_radial": q_neural_radial,
+        "neural_rescore_top10": q_neural_rescore_top10,
+        "neural_query_text_top10": q_neural_query_text_top10,
+        "pipeline_rerank_top10": q_pipeline_rerank_top10,
+        "doc_embeddings": q_doc_embeddings,
+        "hybrid_neural_match": q_hybrid_neural_match,
+        "hybrid_with_aggs": q_hybrid_with_aggs,
+        "rerank_by_field": q_rerank_by_field,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "quality_features": q_quality_features,
+        "lang_id": q_lang_id,
+        "content_fingerprint": q_content_fingerprint,
+        "chunk_fixed_token_length": q_chunk_fixed,
+        "chunk_delimiter": q_chunk_delimiter,
+        "chunk_delimiter_limited": q_chunk_delimiter_limited,
+        "chunk_fixed_whitespace_limited": q_chunk_fixed_whitespace_limited,
+        "lsh_cosine_top10": q_lsh_cosine_top10,
+        "ivf_cosine_top10": q_ivf_cosine_top10,
+        "total_hits_relation": q_total_hits_relation,
+        "query_with_aggs": q_query_with_aggs,
         "nested_roundtrip_tokens": q_nested_roundtrip_tokens,
         "events_hourly_agg": q_events_hourly_agg,
         "events_search_after": q_events_search_after,
@@ -3083,6 +3113,11 @@ def oracle_sql() -> dict[str, str]:
   {_sql_rank("scored", "score", "doc_id", K)}""",
         "regexp_top10": f"""with {SQL_INDEX_CTES},
   mt as (select term from stats where regexp_full_match(term, '{REGEXP_VALUE}')),
+  matched as (select distinct p.doc_id from postings p join mt on p.term = mt.term),
+  scored as (select doc_id, {REGEXP_BOOST}::DOUBLE as score from matched)
+  {_sql_rank("scored", "score", "doc_id", K)}""",
+        "regexp_alternation_top10": f"""with {SQL_INDEX_CTES},
+  mt as (select term from stats where regexp_full_match(term, '{REGEXP_ALT_VALUE}')),
   matched as (select distinct p.doc_id from postings p join mt on p.term = mt.term),
   scored as (select doc_id, {REGEXP_BOOST}::DOUBLE as score from matched)
   {_sql_rank("scored", "score", "doc_id", K)}""",

@@ -364,25 +364,48 @@ class IndexStore:
         object-store server-side copy (or hard links), which is what makes
         snapshots O(changed bytes) at 100 TB. Returns the manifest dict.
         """
+        import hashlib
         import shutil
 
         target = os.path.join(dest_dir, name)
         os.makedirs(target, exist_ok=True)
+        prior_md5: dict[str, str] = {}
+        prior_manifest = os.path.join(target, "snapshot.json")
+        if os.path.exists(prior_manifest):
+            with open(prior_manifest) as f:
+                prior_md5 = {
+                    e["path"]: e["md5"]
+                    for e in json.load(f).get("files", [])
+                    if "md5" in e
+                }
         files: list[dict] = []
         copied = skipped = 0
         for root, _, names in os.walk(self.path):
             for fname in sorted(names):
                 src = os.path.join(root, fname)
                 rel = os.path.relpath(src, self.path)
-                size = os.path.getsize(src)
+                st = os.stat(src)
+                size = st.st_size
                 dst = os.path.join(target, rel)
-                if os.path.exists(dst) and os.path.getsize(dst) == size:
+                # skip only when size AND mtime match (copy2 preserved the
+                # mtime on the earlier copy) AND the prior manifest carries
+                # the file's hash — a same-size in-place rewrite (e.g. a
+                # small JSON manifest) must NOT leave stale snapshot bytes
+                if (
+                    rel in prior_md5
+                    and os.path.exists(dst)
+                    and os.path.getsize(dst) == size
+                    and abs(os.stat(dst).st_mtime - st.st_mtime) < 1e-6
+                ):
                     skipped += 1
+                    digest = prior_md5[rel]
                 else:
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     shutil.copy2(src, dst)
                     copied += 1
-                files.append({"path": rel, "bytes": size})
+                    with open(src, "rb") as fh:
+                        digest = hashlib.md5(fh.read()).hexdigest()
+                files.append({"path": rel, "bytes": size, "md5": digest})
         manifest = {
             "name": name,
             "source_path": self.path,
@@ -402,9 +425,11 @@ class IndexStore:
         cls, spark: SparkSession, snapshot_path: str, dest_path: str
     ) -> "IndexStore":
         """Restore a snapshot into ``dest_path`` and open it. Every file in
-        the snapshot manifest must exist with its recorded size (a torn or
-        tampered snapshot fails loudly BEFORE any file lands in
-        ``dest_path``); extra files in the snapshot dir are ignored."""
+        the snapshot manifest must exist with its recorded size and content
+        hash (a torn or tampered snapshot fails loudly BEFORE any file
+        lands in ``dest_path``); extra files in the snapshot dir are
+        ignored."""
+        import hashlib
         import shutil
 
         with open(os.path.join(snapshot_path, "snapshot.json")) as f:
@@ -416,6 +441,13 @@ class IndexStore:
                     f"snapshot {manifest['name']!r} is incomplete: "
                     f"{entry['path']} missing or size-mismatched"
                 )
+            if "md5" in entry:
+                with open(src, "rb") as fh:
+                    if hashlib.md5(fh.read()).hexdigest() != entry["md5"]:
+                        raise ValueError(
+                            f"snapshot {manifest['name']!r} is corrupt: "
+                            f"{entry['path']} content-hash mismatch"
+                        )
         for entry in manifest["files"]:
             src = os.path.join(snapshot_path, entry["path"])
             dst = os.path.join(dest_path, entry["path"])

@@ -142,6 +142,14 @@ def filter_condition(pred: dict) -> Column:
     raise QueryValidationError(f"unknown filter predicate: {pred}")
 
 
+def _req(body: dict, key: str, ctx: str):
+    """Fetch a required key, raising QueryValidationError (not KeyError) when
+    absent — malformed bodies must fail the repo's fuzz invariant cleanly."""
+    if not isinstance(body, dict) or key not in body:
+        raise QueryValidationError(f"{ctx} requires '{key}'")
+    return body[key]
+
+
 def _single_field(spec: dict, kind: str) -> tuple[str, dict]:
     if len(spec) != 1:
         raise QueryValidationError(f"{kind} query must target exactly one field")
@@ -570,18 +578,19 @@ class QueryEngine:
                 )
             v = F.col(field).cast("double")
             if fns[0] == "saturation":
-                pivot = float(body["saturation"]["pivot"])
+                pivot = float(_req(body["saturation"], "pivot", "rank_feature saturation"))
                 if pivot <= 0:
                     raise QueryValidationError("saturation pivot must be > 0")
                 s = v / (v + F.lit(pivot))
             elif fns[0] == "log":
-                sf_ = float(body["log"]["scaling_factor"])
+                sf_ = float(_req(body["log"], "scaling_factor", "rank_feature log"))
                 if sf_ < 1:
                     raise QueryValidationError("log scaling_factor must be >= 1")
                 s = F.log(v + F.lit(sf_))
             else:
                 sg = body["sigmoid"]
-                pivot, exp = float(sg["pivot"]), float(sg["exponent"])
+                pivot = float(_req(sg, "pivot", "rank_feature sigmoid"))
+                exp = float(_req(sg, "exponent", "rank_feature sigmoid"))
                 if pivot <= 0 or exp <= 0:
                     raise QueryValidationError(
                         "sigmoid needs pivot > 0 and exponent > 0"
@@ -1578,7 +1587,11 @@ class QueryEngine:
                     match_docs.groupBy(F.date_trunc(interval, F.col(field)).alias("key"))
                     .agg(F.count("*").cast("long").alias("doc_count"))
                 )
-                if int(body.get("min_doc_count", 0)) == 0:
+                mdc = int(body.get("min_doc_count", 0))
+                if mdc > 1:
+                    # OpenSearch: buckets below the threshold are dropped
+                    buckets = buckets.where(F.col("doc_count") >= mdc)
+                if mdc == 0:
                     # OpenSearch default: empty buckets between the observed
                     # min and max keys are returned. One extra tiny agg +
                     # sequence() generates the full key range engine-side.
@@ -1600,7 +1613,7 @@ class QueryEngine:
                 # date_range = range over a timestamp field with ISO-string
                 # bounds (from inclusive, to exclusive, same one-pass
                 # conditional counting); keys render the given strings
-                ranges = body["ranges"]
+                ranges = _req(body, "ranges", f"{akind} agg")
                 if not ranges:
                     raise QueryValidationError(f"{akind} agg needs at least one range")
                 is_date = akind == "date_range"
@@ -1729,6 +1742,13 @@ class QueryEngine:
                     raise QueryValidationError(
                         "global aggregation needs exactly one inner 'agg'"
                     )
+                (inner_kind,) = inner.keys()
+                if inner_kind == "global":
+                    # unbounded recursion guard: global-in-global is
+                    # meaningless (the outer already ignores the query)
+                    raise QueryValidationError(
+                        "global aggregation cannot nest another 'global'"
+                    )
                 _, inner_aggs = self.search_with_aggs(
                     {"match_all": {}}, {name: inner}, k=1
                 )
@@ -1793,10 +1813,11 @@ class QueryEngine:
                 # + offset; min_doc_count=0 gap-fills between the observed
                 # (or extended_bounds) min/max via a generated sequence of
                 # BUCKET INDEXES (long arithmetic — no float accumulation)
-                interval = float(body["interval"])
+                interval = float(_req(body, "interval", "histogram agg"))
                 if interval <= 0:
                     raise QueryValidationError("histogram interval must be > 0")
                 offset = float(body.get("offset", 0.0))
+                mdc = int(body.get("min_doc_count", 0))
                 v = F.col(field).cast("double")
                 idx_col = F.floor((v - F.lit(offset)) / F.lit(interval))
                 buckets = (
@@ -1804,7 +1825,10 @@ class QueryEngine:
                     .groupBy(idx_col.alias("_idx"))
                     .agg(F.count("*").cast("long").alias("doc_count"))
                 )
-                if int(body.get("min_doc_count", 0)) == 0:
+                if mdc > 1:
+                    # OpenSearch: buckets below the threshold are dropped
+                    buckets = buckets.where(F.col("doc_count") >= mdc)
+                if mdc == 0:
                     eb = body.get("extended_bounds")
                     lo = F.min("_idx").alias("lo")
                     hi = F.max("_idx").alias("hi")

@@ -83,14 +83,49 @@ def literal_prefix(pattern: str) -> str:
     return "".join(out)
 
 
+def _has_top_level_alternation(pattern: str) -> bool:
+    """True if the pattern has an unescaped ``|`` at paren/class depth 0.
+
+    A top-level alternation means NO literal prefix is required of every
+    match (``sort|spark`` matches strings starting with either branch), so
+    prefix pushdown must be disabled entirely.
+    """
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix of a regex pattern (pushdown handle).
 
     Conservative: stops at the first metachar, class shorthand, or
     alternation; a char immediately followed by a quantifier is excluded
     (in ``abc*`` only ``ab`` is guaranteed). Escaped punctuation
-    (``\\.``) counts as literal.
+    (``\\.``) counts as literal. A top-level alternation anywhere in the
+    pattern (``sort|spark``) disables pushdown completely — the collected
+    prefix is only required of the FIRST branch, so filtering on it would
+    silently drop every match from the other branches.
     """
+    if _has_top_level_alternation(pattern):
+        return ""
     meta = set(".?*+|(){}[]^$")
     out: list[str] = []
     i = 0

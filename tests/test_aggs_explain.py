@@ -226,6 +226,24 @@ def test_histogram_agg_offset_min_doc_count_1(engine, transcripts):
     assert 0 not in got.values()
 
 
+def test_histogram_agg_min_doc_count_threshold(engine, transcripts):
+    # min_doc_count=2 must DROP buckets whose count is below the threshold
+    # (OpenSearch semantics), not merely disable gap-fill (ADVICE r4)
+    from collections import Counter as _C
+
+    matched = _match_rows(transcripts)
+    by_bucket = _C((r["turn_idx"] // 2) * 2 for r in matched)
+    _, aggs = engine.search_with_aggs(
+        Q, {"h": {"histogram": {"field": "turn_idx", "interval": 2,
+                                "min_doc_count": 2}}}
+    )
+    got = {int(r["key"]): r["doc_count"] for r in aggs["h"].collect()}
+    assert got == {k: c for k, c in by_bucket.items() if c >= 2}
+    # sanity: the threshold actually bites on this fixture, else pick Q better
+    if any(c < 2 for c in by_bucket.values()):
+        assert len(got) < len(by_bucket)
+
+
 def test_filters_agg_one_pass(engine, transcripts):
     matched = _match_rows(transcripts)
     _, aggs = engine.search_with_aggs(
@@ -482,3 +500,21 @@ def test_global_agg_ignores_query(engine, transcripts):
     assert aggs["matched"].first()["value"] < n_all
     with pytest.raises(QueryValidationError):
         engine.search_with_aggs(Q, {"g": {"global": {}}})
+    # global-in-global would recurse without bound — must be validation, not
+    # RecursionError (ADVICE r4). Inner agg is a bare {kind: body} dict.
+    with pytest.raises(QueryValidationError):
+        engine.search_with_aggs(
+            Q, {"g": {"global": {"agg": {"global": {
+                "agg": {"count": {"field": "docID"}}}}}}}
+        )
+
+
+def test_agg_missing_required_keys_raise_validation(engine):
+    from neural_search_spark.query.dsl import QueryValidationError
+
+    with pytest.raises(QueryValidationError):  # histogram without interval
+        engine.search_with_aggs(Q, {"h": {"histogram": {"field": "turn_idx"}}})
+    with pytest.raises(QueryValidationError):  # range without ranges
+        engine.search_with_aggs(Q, {"r": {"range": {"field": "turn_idx"}}})
+    with pytest.raises(QueryValidationError):  # date_range without ranges
+        engine.search_with_aggs(Q, {"r": {"date_range": {"field": "ts"}}})

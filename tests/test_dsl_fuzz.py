@@ -32,6 +32,12 @@ VALUES = [None, 1, "alpha", [], {}, [1, 2], {"query": "alpha"},
           {"filter": {"match": {"text": "alpha"}}},
           {"text": {"terms": ["alpha"], "minimum_should_match_field": "nope"}},
           {"field": "text", "saturation": {"pivot": -1}},
+          # transform dict present but the required inner key absent —
+          # must raise QueryValidationError, never a raw KeyError
+          {"field": "text", "saturation": {}},
+          {"field": "text", "log": {}},
+          {"field": "text", "sigmoid": {}},
+          {"field": "text", "sigmoid": {"pivot": 1.0}},
           {"query": "+alpha -beta g*", "default_operator": "nand"}]
 
 

@@ -51,6 +51,13 @@ def test_regex_literal_prefix():
     assert regex_literal_prefix(r"a\.b") == "a.b"  # escaped punct is literal
     assert regex_literal_prefix(r"a\db") == "a"  # class shorthand stops it
     assert regex_literal_prefix(r"a\.?b") == "a"  # quantified escape stops
+    # top-level alternation: NO prefix is required of every match — pushdown
+    # on 'sort' would silently drop the 'spark' branch (ADVICE r4, high).
+    assert regex_literal_prefix("sort|spark") == ""
+    assert regex_literal_prefix("sort|sparse|spill") == ""
+    assert regex_literal_prefix(r"sort\|spark") == "sort|spark"  # escaped: literal
+    assert regex_literal_prefix("so(rt|ck)") == "so"  # grouped alternation is fine
+    assert regex_literal_prefix("abc[x|y]z") == "abc"  # '|' inside class is literal
 
 
 def test_auto_fuzziness_bands():
@@ -118,6 +125,9 @@ def _collect_scores(df) -> dict[int, float]:
         ("fuzzy", "stack", {"fuzziness": 2, "prefix_length": 2}),
         ("regexp", "s(o|pa)r[tk]", {}),  # sort | spark
         ("regexp", "dat.*", {}),  # literal prefix 'dat' pushes into the scan
+        # top-level alternation: prefix pushdown must be DISABLED, else the
+        # 'spark' branch is silently dropped (ADVICE r4, high severity)
+        ("regexp", "sort|spark", {}),
     ],
 )
 def test_constant_score_matches_python_expansion(

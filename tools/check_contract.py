@@ -80,31 +80,31 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
-            print(f"FAIL {name}: spark query raised")
+            print(f"\nRESULT FAIL {name}: spark query raised", flush=True)
             traceback.print_exc()
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"OK?  {name}: rows-only ({len(sdf)} rows, no oracle)")
+            print(f"\nRESULT OK? {name}: rows-only ({len(sdf)} rows, no oracle)", flush=True)
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception:
-            print(f"FAIL {name}: oracle SQL raised")
+            print(f"\nRESULT FAIL {name}: oracle SQL raised", flush=True)
             traceback.print_exc()
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
         real = [p for p in problems if not p.startswith("dtype diffs")]
         if real:
-            print(f"FAIL {name}:")
+            print(f"\nRESULT FAIL {name}:", flush=True)
             for p in problems:
                 print(f"    {p}")
             n_fail += 1
         else:
             note = "; ".join(p for p in problems if p.startswith("dtype diffs"))
-            print(f"PASS {name} ({len(sdf)} rows){' — ' + note if note else ''}")
-    print(f"\n{n_fail} failures")
+            print(f"\nRESULT PASS {name} ({len(sdf)} rows){' — ' + note if note else ''}", flush=True)
+    print(f"\n{n_fail} failures", flush=True)
     return 1 if n_fail else 0
 
 
