@@ -99,11 +99,97 @@ class StageResult:
 
 
 class IndexStore:
+    #: vocabulary bound above which the session plan cache is disabled — a
+    #: driver-side dict over 10⁷+ terms is the wrong trade; per-query job A
+    #: stays bounded by |query| instead (documented in plan_cache()).
+    PLAN_CACHE_MAX_TERMS = 5_000_000
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
+        self._plan_cache: dict | None = None
+
+    def _epoch(self) -> tuple:
+        """Cheap invalidation key for session caches: (name, mtime, size)
+        of every stage manifest, tombstone file, and meta.json — anything
+        that changes the index (build stage rewrite, delete, compact,
+        streaming append) touches at least one of these."""
+        entries = []
+        for sub in ("_manifests", "tombstones"):
+            d = os.path.join(self.path, sub)
+            if os.path.isdir(d):
+                for fn in sorted(os.listdir(d)):
+                    st = os.stat(os.path.join(d, fn))
+                    entries.append((f"{sub}/{fn}", st.st_mtime_ns, st.st_size))
+        st = os.stat(os.path.join(self.path, "meta.json"))
+        entries.append(("meta.json", st.st_mtime_ns, st.st_size))
+        return tuple(entries)
+
+    def plan_cache(self, zone_width: int = 1024, wide_cap: int = 64) -> dict | None:
+        """Session-cached per-term block-metadata aggregate — exactly what
+        segment_search.wand_topk's "job A" computes per query, built ONCE
+        per index epoch over ALL terms so every warm query skips the
+        metadata job (2-3 jobs → 1-2). Adds per-term compressed payload
+        bytes, which the auto-router's cost model uses as the decode-volume
+        estimate. Invalidated whenever _epoch() changes (delete/compact/
+        rebuild/append). Returns None when the vocabulary exceeds
+        PLAN_CACHE_MAX_TERMS: at 10⁸-term scale the right cache is the
+        per-query filtered aggregate (bounded by |q|), not a driver dict.
+        """
+        epoch = self._epoch()
+        c = self._plan_cache
+        if (
+            c is not None
+            and c["epoch"] == epoch
+            and c["zone_width"] == zone_width
+            and c["wide_cap"] == wide_cap
+        ):
+            return c if c.get("terms") is not None else None
+        n_terms = self.term_stats.count()
+        if n_terms > self.PLAN_CACHE_MAX_TERMS:
+            self._plan_cache = {
+                "epoch": epoch, "zone_width": zone_width,
+                "wide_cap": wide_cap, "terms": None,
+            }
+            return None
+        zlo = (F.col("first_docID") / zone_width).cast("long")
+        zhi = (F.col("last_docID") / zone_width).cast("long")
+        wide = (zhi - zlo) >= wide_cap
+        rows = (
+            self.segments.groupBy("term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.count("*").alias("nblocks"),
+                F.count(F.when(wide, F.lit(1))).alias("nwide"),
+                F.max(F.when(wide, F.col("max_score_component"))).alias("wide_max"),
+                F.max("max_score_component").alias("tmax"),
+                F.sum(
+                    F.octet_length("docids")
+                    + F.octet_length("tfs")
+                    + F.octet_length("dls")
+                ).alias("payload_bytes"),
+            )
+            .collect()
+        )
+        self._plan_cache = {
+            "epoch": epoch,
+            "zone_width": zone_width,
+            "wide_cap": wide_cap,
+            "terms": {
+                r["term"]: {
+                    "df": int(r["df"]),
+                    "nblocks": int(r["nblocks"]),
+                    "nwide": int(r["nwide"]),
+                    "wide_max": r["wide_max"],
+                    "tmax": r["tmax"],
+                    "payload_bytes": int(r["payload_bytes"]),
+                }
+                for r in rows
+            },
+        }
+        return self._plan_cache
 
     # --- open-time accessors (lazy scans; segments scan prunes by shard) --
     @property
@@ -224,17 +310,41 @@ class IndexStore:
         tombs.unpersist()
         return {"deleted": n_del, "N": n_docs, "avgdl": avgdl}
 
-    def topk(self, terms, k: int = 10, prune: bool = True, strategy: str = "auto") -> DataFrame:
+    # --- auto-router cost model (calibrated against BENCH.md §4/§6) ------
+    # Fixed floors are Spark job-scheduling latency at interactive scale;
+    # the byte terms are what dominate at 100 TB. Segments decode
+    # compressed payload (~4.5 B/posting) through the Arrow kernel;
+    # relational scans the postings parquet (~16 B/posting) plus a doclens
+    # join (~12 B/doc) JVM-side. Engaging the θ/zone prune machinery costs
+    # extra jobs (seed decode + zone agg) — the measured ~3 s penalty that
+    # made head-only queries lose on the segment path (§4 head1).
+    ROUTER_SEG_FIXED_S = 0.30        # 2-job early-exit floor
+    ROUTER_SEG_PRUNE_FIXED_S = 3.50  # 3-4-job prune-path floor (θ seed + zones)
+    ROUTER_REL_FIXED_S = 1.00        # scan+shuffle+agg single-job floor
+    ROUTER_SEG_BPS = 150e6           # Arrow-kernel decode throughput
+    ROUTER_REL_BPS = 1.5e9           # JVM codegen scan throughput
+
+    def topk(
+        self,
+        terms,
+        k: int = 10,
+        prune: bool = True,
+        strategy: str = "auto",
+        stats_out: dict | None = None,
+    ) -> DataFrame:
         """Top-k BM25 over the store.
 
-        strategy='auto' encodes the measured crossover (BENCH.md §4): a
-        one-job lookup of the query terms' df decides the physical plan —
-        when the estimated block count Σ ceil(df/block_size) is at or
-        below the WAND early-exit bound the segment path decodes the few
-        blocks outright (2 jobs, beat relational 1.8-4.1× on mid-frequency
-        queries at 2-8 M docs); head-heavy queries route to the relational
-        join-agg, whose single scan wins when most blocks would survive
-        pruning anyway. 'segments'/'relational' force a path."""
+        strategy='auto' routes on an estimated-cost model over the session
+        plan cache (zero extra Spark jobs when the cache is warm): the
+        segment path is costed at its job floor plus the query terms'
+        compressed payload bytes through the Arrow decode kernel (all
+        blocks — pruning savings are not assumed), the relational path at
+        its floor plus postings-parquet plus doclens-join bytes through a
+        JVM scan. Small block sets take the segment early-exit outright
+        (measured 1.8-4.1× wins, BENCH.md §4); head-heavy queries route
+        relational. The decision (strategy, estimated bytes, block count,
+        cache hit) is recorded in `stats_out["router"]` when given.
+        'segments'/'relational' force a path."""
         from neural_search_spark.index.segments import BLOCK_SIZE
         from neural_search_spark.query.segment_search import wand_topk
 
@@ -258,14 +368,49 @@ class IndexStore:
                 exclude=tombs,
             )
             return _topk(scored, k)
+        plan_cache = None
+        if strategy in ("auto", "segments"):
+            plan_cache = self.plan_cache()
         if strategy == "auto":
             q_terms = sorted(set(terms))
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in self.term_stats.where(F.col("term").isin(q_terms)).collect()
-            }
-            est_blocks = sum(-(-d // BLOCK_SIZE) for d in dfs.values())
-            strategy = "segments" if est_blocks <= 512 else "relational"
+            if plan_cache is not None:
+                ct = plan_cache["terms"]
+                present = [t for t in q_terms if t in ct]
+                est_blocks = sum(ct[t]["nblocks"] for t in present)
+                decode_bytes = sum(ct[t]["payload_bytes"] for t in present)
+                sum_df = sum(ct[t]["df"] for t in present)
+            else:
+                # vocabulary too large for a driver cache: one bounded
+                # lookup job on the query terms only
+                dfs = {
+                    r["term"]: int(r["df"])
+                    for r in self.term_stats.where(F.col("term").isin(q_terms)).collect()
+                }
+                est_blocks = sum(-(-d // BLOCK_SIZE) for d in dfs.values())
+                sum_df = sum(dfs.values())
+                decode_bytes = 5 * sum_df  # ~4.5 B/posting compressed
+            rel_bytes = 16 * sum_df + 12 * int(self.meta["N"])
+            if est_blocks <= 512:
+                # early-exit decode: 2 jobs, measured 1.8-4.1× wins
+                strategy, seg_cost = "segments", self.ROUTER_SEG_FIXED_S
+                rel_cost = self.ROUTER_REL_FIXED_S + rel_bytes / self.ROUTER_REL_BPS
+            else:
+                seg_cost = (
+                    self.ROUTER_SEG_PRUNE_FIXED_S
+                    + decode_bytes / self.ROUTER_SEG_BPS
+                )
+                rel_cost = self.ROUTER_REL_FIXED_S + rel_bytes / self.ROUTER_REL_BPS
+                strategy = "segments" if seg_cost < rel_cost else "relational"
+            if stats_out is not None:
+                stats_out["router"] = {
+                    "strategy": strategy,
+                    "est_blocks": est_blocks,
+                    "decode_bytes": decode_bytes,
+                    "rel_bytes": rel_bytes,
+                    "seg_cost_s": round(seg_cost, 3),
+                    "rel_cost_s": round(rel_cost, 3),
+                    "plan_cache_hit": plan_cache is not None,
+                }
         if strategy == "relational":
             from neural_search_spark.query.bm25 import bm25_topk
 
@@ -281,6 +426,8 @@ class IndexStore:
             terms=terms,
             k=k,
             prune=prune,
+            stats_out=stats_out,
+            plan_cache=plan_cache,
         )
 
     def query_engine(self, positional: bool = False, **kwargs):

@@ -148,6 +148,26 @@ def minhash_signature(
     return hashed.groupBy("id").agg(*aggs)
 
 
+def mark_bucket_stats(banded: DataFrame, keys: list[str], rep_expr: Column) -> DataFrame:
+    """Attach per-bucket size ``_cnt`` and representative ``_rep`` WITHOUT
+    an unbounded window.
+
+    ``count().over(Window.partitionBy(bucket))`` buffers the ENTIRE bucket
+    in one task's window frame before any downstream size guard can apply
+    — a pathological 10⁸-member bucket (one mega-duplicate cluster at
+    100 TB) would pin a single executor. A groupBy(count, min) carries
+    constant per-bucket state, aggregates partially map-side, and streams;
+    joining the (one-row-per-bucket) stats back on the bucket key is
+    memory-bounded. Both sides hash-partition on the same key, so the plan
+    pays the same single exchange of the banded side the window needed
+    anyway plus one tiny stats-side exchange.
+    """
+    stats = banded.groupBy(*keys).agg(
+        F.count("*").alias("_cnt"), F.min(rep_expr).alias("_rep")
+    )
+    return banded.join(stats, keys)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -183,16 +203,11 @@ def minhash_lsh_pairs(
     # ONE pass over the signatures: posexplode the band keys (a self-join on
     # a banded view would recompute the minhash pipeline once per side)
     banded = sig.select("id", F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
-    # pair generation bucket-side, one shuffle on (band, band_key): the
-    # bucket size/representative come from an unbounded window over that
-    # key, and the small-bucket groupBy reuses the same hash partitioning
-    # (no second exchange)
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("band", "band_key")
-    marked = banded.withColumn("_cnt", F.count("*").over(wb)).withColumn(
-        "_rep", F.min("id").over(wb)
-    )
+    # pair generation bucket-side, shuffled on (band, band_key): bucket
+    # size/representative come from a streaming groupBy + join-back (see
+    # mark_bucket_stats — no unbounded window, no whole-bucket buffering),
+    # and the small-bucket groupBy reuses the same hash partitioning
+    marked = mark_bucket_stats(banded, ["band", "band_key"], F.col("id"))
     small = (
         marked.where((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
         .groupBy("band", "band_key")
@@ -370,12 +385,7 @@ def simhash_pairs(
     banded = sig.select(
         "id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "bv")
     )
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("band", "bv")
-    marked = banded.withColumn("_cnt", F.count("*").over(wb)).withColumn(
-        "_rep", F.min(F.struct("id", "simhash")).over(wb)
-    )
+    marked = mark_bucket_stats(banded, ["band", "bv"], F.struct("id", "simhash"))
     small = (
         marked.where((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
         .groupBy("band", "bv")

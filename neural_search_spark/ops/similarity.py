@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from neural_search_spark.ops.dedup import mark_bucket_stats
 from neural_search_spark.ops.text import hash60
 
 
@@ -273,8 +274,6 @@ def embedding_dup_pairs(
     Recall rises with n_planes and max_hamming; at 100 TB the candidate
     stage stays one bucket-shuffle regardless.
     """
-    from pyspark.sql import Window
-
     if n_planes % bands != 0:
         raise ValueError("n_planes must be divisible by bands")
     if not 0 <= max_hamming < bands:
@@ -292,10 +291,10 @@ def embedding_dup_pairs(
         for b in range(bands)
     ]
     banded = coded.select("id", "code", F.posexplode(F.array(*band_vals)).alias("band", "bv"))
-    wb = Window.partitionBy("band", "bv")
-    marked = banded.withColumn("_cnt", F.count("*").over(wb)).withColumn(
-        "_rep", F.min(F.struct("id", "code")).over(wb)
-    )
+    # streaming groupBy + join-back, not an unbounded window: a giant
+    # bucket must never be buffered whole in one task (see
+    # dedup.mark_bucket_stats)
+    marked = mark_bucket_stats(banded, ["band", "bv"], F.struct("id", "code"))
     small = (
         marked.where((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
         .groupBy("band", "bv")

@@ -54,13 +54,27 @@ def percolate(
     text_col: str = "text",
     id_col: str = "docID",
     tokenizer: str = "standard",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
-    """(id, query_id): every (document, registered query) match pair."""
+    """(id, query_id): every (document, registered query) match pair.
+
+    `broadcast_rules`: the registered rule table rides a broadcast by
+    default (a million 4-term rules is tens of MB of strings — fine for
+    the executor broadcast budget; measured in tools/percolate_bench.py).
+    Pass False when the rule-term table outgrows the broadcast budget
+    (10⁸+ rule terms): the join becomes a shuffle hash join on `term` —
+    one extra exchange of the (small relative to the corpus) rule table,
+    identical downstream aggregation; AQE splits skewed head-term
+    partitions. Either way the whole match is ONE pass over the docs —
+    never a per-rule job."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokenize_col(text_col, tokenizer))).alias("term"),
     )
-    hits = toks.join(F.broadcast(queries), "term")
+    # shuffle_hash hint (not sort-merge): the rule table is the small side
+    # and per-partition hash build beats sorting the exploded corpus tokens
+    rules = F.broadcast(queries) if broadcast_rules else queries.hint("shuffle_hash")
+    hits = toks.join(rules, "term")
     return (
         hits.groupBy("id", "query_id")
         .agg(

@@ -127,6 +127,7 @@ def wand_topk(
     no_prune_blocks: int = 512,
     cand_limit: int = 2_000_000,
     stats_out: dict | None = None,
+    plan_cache: dict | None = None,
 ) -> DataFrame:
     """(rank, docID, score) exact BM25 top-k over the segment table.
 
@@ -151,7 +152,14 @@ def wand_topk(
     for the kernel filter (≤ `cand_limit` int64s to the driver; above
     that the distributed semi-join fallback keeps 3 jobs and never
     collects candidates). `term_stats` is accepted for API compatibility
-    but never scanned."""
+    but never scanned.
+
+    `plan_cache` (optional, from IndexStore.plan_cache()): a per-term
+    snapshot of exactly what job A aggregates ({term: {df, nblocks,
+    nwide, wide_max, tmax, …}}, plus the zone_width/wide_cap it was built
+    at). When present and parameter-compatible, job A is skipped entirely
+    — warm queries drop to 1-2 jobs (the round-5 interactive-latency
+    lever). A cache built at different zone parameters is ignored."""
     import time as _time
 
     spark = segments.sparkSession
@@ -185,22 +193,36 @@ def wand_topk(
         zhi_c = (F.col("last_docID") / zone_width).cast("long")
         wide_c = (zhi_c - zlo_c) >= wide_cap
         _t0 = _time.time()
-        # job A: df per term (exact: each posting sits in exactly one block
-        # of its term), block counts, and the wide-block max score component
-        # — ONE collect replaces the old df-lookup scan, blocks_total count,
-        # and gmax collect
-        agg_rows = (
-            qmeta.groupBy("term")
-            .agg(
-                F.sum("n").alias("df"),
-                F.count("*").alias("nblocks"),
-                F.count(F.when(wide_c, F.lit(1))).alias("nwide"),
-                F.max(F.when(wide_c, F.col("max_score_component"))).alias("wide_max"),
-                F.max("max_score_component").alias("tmax"),
-            )
-            .collect()
+        cache_ok = (
+            plan_cache is not None
+            and plan_cache.get("zone_width") == zone_width
+            and plan_cache.get("wide_cap") == wide_cap
         )
+        if cache_ok:
+            # job A skipped: the session-level per-term aggregate already
+            # holds df/nblocks/nwide/wide_max/tmax for every term of the
+            # index epoch. Terms absent from the cache have no postings.
+            ct = plan_cache["terms"]
+            agg_rows = [dict(ct[t], term=t) for t in q_terms if t in ct]
+        else:
+            # job A: df per term (exact: each posting sits in exactly one
+            # block of its term), block counts, and the wide-block max
+            # score component — ONE collect replaces the old df-lookup
+            # scan, blocks_total count, and gmax collect
+            agg_rows = (
+                qmeta.groupBy("term")
+                .agg(
+                    F.sum("n").alias("df"),
+                    F.count("*").alias("nblocks"),
+                    F.count(F.when(wide_c, F.lit(1))).alias("nwide"),
+                    F.max(F.when(wide_c, F.col("max_score_component"))).alias("wide_max"),
+                    F.max("max_score_component").alias("tmax"),
+                )
+                .collect()
+            )
         phases["plan_agg"] = round(_time.time() - _t0, 3)
+        if stats_out is not None:
+            stats_out["plan_cache_hit"] = bool(cache_ok)
         dfs = {r["term"]: int(r["df"]) for r in agg_rows}
         w_idf = {
             t: terms[t] * math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))

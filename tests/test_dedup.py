@@ -137,6 +137,54 @@ def test_lsh_giant_bucket_star_guard(spark):
     assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in spairs)
 
 
+def test_bucket_stats_no_unbounded_window(spark):
+    """The candidate path must carry NO window operator: bucket size/rep
+    come from a streaming groupBy + join-back (mark_bucket_stats), so a
+    pathological single bucket can never be buffered whole in one task's
+    window frame (VERDICT r4 hardening #3)."""
+    from neural_search_spark.ops.similarity import embedding_dup_pairs
+
+    rows = [(i, "identical text every row") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for plan_df in (
+        minhash_lsh_pairs(df, num_hashes=8, bands=4, max_bucket=10),
+        simhash_pairs(df, bits=32, bands=4, max_hamming=3, max_bucket=10),
+    ):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan[:2000]
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        embedding_dup_pairs(emb, dim=4, n_planes=8, bands=4,
+                            max_hamming=3, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_single_giant_bucket_100k_members(spark):
+    """One 10⁵-member bucket (every doc identical) must complete with
+    linear star output and bounded per-task memory — the shape a
+    mega-duplicate cluster takes at 100 TB."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact duplicated text appears everywhere").alias("text"),
+    )
+    pairs = simhash_pairs(df, bits=32, bands=4, max_hamming=3, max_bucket=64)
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.min("id_a").alias("min_a"),
+        F.max("id_a").alias("max_a"),
+        F.max("hamming").alias("max_h"),
+    ).first()
+    assert agg["n"] == n - 1  # star edges only: linear, not n·(n-1)/2
+    assert agg["min_a"] == 0 and agg["max_a"] == 0  # all anchored at rep
+    assert agg["max_h"] == 0
+
+
 def test_lsh_star_guard_preserves_small_bucket_output(spark, dup_docs):
     """Buckets at or below max_bucket keep exact all-pairs output — the
     guard at its default threshold does not change small-corpus results."""

@@ -29,6 +29,19 @@ def test_percolate_matches(spark):
     assert got == {(0, 10), (0, 11), (2, 11), (3, 12)}
 
 
+def test_percolate_shuffle_path_parity(spark):
+    """broadcast_rules=False (the >10⁸-rule-term escape hatch) must produce
+    identical matches through a genuine shuffle hash join, never a
+    broadcast."""
+    docs = spark.createDataFrame(DOCS, "docID long, text string")
+    q = register_queries(spark, QDEFS)
+    shuffled = percolate(docs, q, broadcast_rules=False)
+    got = {(r.id, r.query_id) for r in shuffled.collect()}
+    assert got == {(0, 10), (0, 11), (2, 11), (3, 12)}
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:1500]
+
+
 def test_percolate_validation(spark):
     with pytest.raises(ValueError):
         register_queries(spark, {1: {"terms": []}})

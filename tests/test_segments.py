@@ -242,6 +242,29 @@ def test_store_topk_auto_strategy(spark, tmp_path):
     with _pytest.raises(ValueError, match="strategy"):
         store.topk(["the"], strategy="bogus")
 
+    # session plan cache: built once, reused (identity), router telemetry
+    # recorded, wand's job A skipped on the warm path
+    c1 = store.plan_cache()
+    c2 = store.plan_cache()
+    assert c1 is c2 and c1["terms"], "cache must be reused within an epoch"
+    so: dict = {}
+    got = store.topk(["tok5"], k=5, strategy="auto", stats_out=so).collect()
+    assert so["router"]["plan_cache_hit"] is True
+    assert so["router"]["strategy"] == "segments"  # rare term → early-exit
+    assert so.get("plan_cache_hit") is True  # wand skipped job A
+    assert [(r["docID"], round(r["score"], 9)) for r in got] == rows_ref(store, ["tok5"])
+
+    # invalidation: a delete changes the epoch → cache rebuilt
+    victim = got[0]["docID"]
+    store.delete_docs([victim])
+    c3 = store.plan_cache()
+    assert c3 is not c1
+
+
+def rows_ref(store, terms):
+    got = store.topk(terms, k=5, strategy="relational").collect()
+    return [(r["docID"], round(r["score"], 9)) for r in got]
+
 
 def test_wand_maxscore_split_kernel_and_semijoin(spark, transcripts, index_tables, segments):
     """A query mixing dense head terms with an upweighted rare term must

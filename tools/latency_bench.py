@@ -78,26 +78,34 @@ spark = get_spark("latency-q", master="local[%d]" % cpus, shuffle_partitions=cpu
 spark.sparkContext.setLogLevel("ERROR")
 store = IndexStore(spark, idx)
 
-PATHS = ("relational", "segments")
-def run(terms, path):
+store.plan_cache()  # session block-metadata cache: warm queries skip job A
+
+PATHS = ("relational", "segments", "auto")
+router_pick = {{}}
+def run(terms, path, qid=None):
+    so = {{}}
     t0 = time.time()
-    rows = store.topk(terms, k=10, strategy=path).collect()
-    return time.time() - t0, [(r["docID"], round(r["score"], 6)) for r in rows]
+    rows = store.topk(terms, k=10, strategy=path, stats_out=so).collect()
+    w = time.time() - t0
+    if path == "auto" and qid is not None and "router" in so:
+        router_pick[qid] = so["router"]["strategy"]
+    return w, [(r["docID"], round(r["score"], 6)) for r in rows]
 
 # full warm pass (JVM JIT, python workers, page cache), rank identity checked
 # (docIDs + scores at 6dp; the pytest suite pins the two paths at 1e-9)
 for qid, terms in qdefs.items():
-    got = {{p: run(terms, p)[1] for p in PATHS}}
-    assert got["relational"] == got["segments"], (qid, terms)
+    got = {{p: run(terms, p, qid)[1] for p in PATHS}}
+    assert got["relational"] == got["segments"] == got["auto"], (qid, terms)
 
 walls = {{p: {{qid: [] for qid in qdefs}} for p in PATHS}}
 for _ in range(trials):
     for qid, terms in qdefs.items():
         for p in PATHS:
-            w, _rows = run(terms, p)
+            w, _rows = run(terms, p, qid)
             walls[p][qid].append(round(w, 4))
 print(json.dumps({{"cpus": cpus, "walls": {{p: {{str(q): v for q, v in d.items()}}
-                 for p, d in walls.items()}}}}))
+                 for p, d in walls.items()}},
+                 "router_pick": {{str(q): s for q, s in router_pick.items()}}}}))
 """
 
 
@@ -144,10 +152,12 @@ def main() -> None:
         print(f"reusing index at {idx}", file=sys.stderr)
 
     levels = (args.n, args.n * 4)
+    paths = ("relational", "segments", "auto")
     # per (level, path, qid): min wall across rounds×trials
     acc: dict[int, dict[str, dict[int, list[float]]]] = {
-        lv: {"relational": {}, "segments": {}} for lv in levels
+        lv: {p: {} for p in paths} for lv in levels
     }
+    router_pick: dict[int, str] = {}
     for rnd in range(args.rounds):
         for lv in levels:
             rep = json.loads(run_child(
@@ -157,12 +167,14 @@ def main() -> None:
             for path, d in rep["walls"].items():
                 for qid, ws in d.items():
                     acc[lv][path].setdefault(int(qid), []).extend(ws)
+            for qid, s in rep.get("router_pick", {}).items():
+                router_pick[int(qid)] = s
             print(f"round {rnd} local[{lv}] done", file=sys.stderr)
 
     report: dict = {"turns": args.turns, "n_queries": args.nq,
                     "rounds": args.rounds, "trials_per_round": args.trials}
     for lv in levels:
-        for path in ("relational", "segments"):
+        for path in paths:
             mins = [min(ws) for _, ws in sorted(acc[lv][path].items())]
             report[f"local[{lv}]_{path}"] = {
                 "p50_sec": round(pctl(mins, 0.50), 3),
@@ -171,6 +183,21 @@ def main() -> None:
                 "qps_sequential": round(len(mins) / sum(mins), 2),
                 "per_query_min": [round(w, 3) for w in mins],
             }
+        # router quality at this level: did auto pick the measured winner?
+        agree = 0
+        for qid in sorted(acc[lv]["relational"]):
+            wr = min(acc[lv]["relational"][qid])
+            ws = min(acc[lv]["segments"][qid])
+            winner = "relational" if wr < ws else "segments"
+            picked = router_pick.get(qid)
+            # a pick within 20% of the winner's wall counts as correct —
+            # sub-floor-noise differences are not routable information
+            wall = {"relational": wr, "segments": ws}
+            if picked and wall.get(picked, 1e9) <= 1.2 * min(wr, ws):
+                agree += 1
+        report[f"local[{lv}]_router_agreement"] = round(
+            agree / max(1, len(acc[lv]["relational"])), 3
+        )
     print(json.dumps(report, indent=2))
 
 
