@@ -1196,11 +1196,14 @@ def q_query_filters_agg(spark, sf_dir):
 
 def q_query_top_hits_agg(spark, sf_dir):
     """top_hits under a terms grouping: per source, the 2 best hits by
-    query score (bounded per-group window, no global sort)."""
+    query score (bounded per-group window, no global sort). Ties rank at
+    6dp granularity (score_decimals) so replica-heavy corpora with exact
+    score ties are ULP-stable against the oracle at any scale."""
     eng = _neural_engine(spark, sf_dir)
     _, aggs = eng.search_with_aggs(
         {"match": {"text": {"query": Q_MATCH_TEXT}}},
-        {"best": {"top_hits": {"group_by": "source", "size": 2}}},
+        {"best": {"top_hits": {"group_by": "source", "size": 2,
+                               "score_decimals": 6}}},
         k=K,
     )
     return aggs["best"].select(
@@ -3608,9 +3611,13 @@ def oracle_sql() -> dict[str, str]:
   {_sql_bm25_raw(Q_BM25, "s_all")},
   j as (select d.source as key, s.doc_id, s.score
         from s_all s join documents d on s.doc_id = d.doc_id),
+  -- rank ties on the ROUNDED score: distributed double summation is
+  -- order-dependent, so exact-tie replicas differ in the last ULP and
+  -- would flip the doc_id tie-break non-deterministically (mirrors the
+  -- engine's score_decimals=6)
   r as (select key, doc_id, score,
                row_number() over (partition by key
-                                  order by score desc, doc_id asc)::BIGINT as rank
+                                  order by round(score, 6) desc, doc_id asc)::BIGINT as rank
         from j)
   select key, rank, doc_id, round(score, 6) as score
   from r where rank <= 2""",

@@ -1922,6 +1922,16 @@ class QueryEngine:
                         "top_hits needs group_by = an existing docs column"
                     )
                 size = int(body.get("size", 3))
+                # score_decimals: rank ties at a fixed decimal granularity
+                # instead of raw double ULPs. Distributed double summation
+                # is order-dependent in ANY engine (Spark and an oracle
+                # alike), so two docs with mathematically equal scores can
+                # differ in the last ULP and flip the docID tie-break
+                # non-deterministically at scale; ranking on the rounded
+                # score makes the tie-break reproducible (Lucene scores are
+                # float32 — coarser than 6dp — so this is closer to
+                # reference behavior than double-ULP ordering).
+                dec = body.get("score_decimals")
                 scored_all = self._score(query, None, k=k)
                 meta_cols = self.docs.select(
                     F.col(self.id_col).alias("docID"), F.col(group_by).alias("key")
@@ -1929,8 +1939,11 @@ class QueryEngine:
                 j = scored_all.join(meta_cols, "docID")
                 from pyspark.sql import Window as _W
 
+                rank_score = (
+                    F.round(F.col("score"), int(dec)) if dec is not None else F.col("score")
+                )
                 w = _W.partitionBy("key").orderBy(
-                    F.col("score").desc(), F.col("docID").asc()
+                    rank_score.desc(), F.col("docID").asc()
                 )
                 out[name] = (
                     j.withColumn("rank", F.row_number().over(w).cast("long"))
