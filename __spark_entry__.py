@@ -66,6 +66,7 @@ EMB_DIM, LSH_PLANES, LSH_PROBE = 64, 8, 2
 NEURAL_MIN_SCORE = 0.15
 RESCORE_OVERSAMPLE, RESCORE_PROBE = 4, 3
 EMB_DUP_THRESHOLD, EMB_DUP_BANDS, EMB_DUP_MAXH = 0.4, 4, 3
+EMB_DUP_MAX_BUCKET = 1024  # star-guard bound, mirrored in the oracle
 # dup-pair codes are FINER than the top-k probe index (16 planes vs 8):
 # band width scales with code bits (16/4 = 4 bits -> 16 bucket values per
 # band), keeping candidate buckets ~N/16 instead of ~N/4 — the knob that
@@ -847,6 +848,7 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs(
         emb, dim=EMB_DIM, threshold=EMB_DUP_THRESHOLD, n_planes=EMB_DUP_PLANES,
         bands=EMB_DUP_BANDS, max_hamming=EMB_DUP_MAXH,
+        max_bucket=EMB_DUP_MAX_BUCKET,
     ).withColumn("cosine", F.round("cosine", 6))
 
 
@@ -1775,7 +1777,9 @@ def q_lineitem_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        # money sums reach ~5e10 at soak scale: 2dp rounding absorbs the
+        # engine-vs-oracle double-accumulation-order ULP drift (~1e-4 abs)
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count("*").cast("long").alias("cnt"),
     )
@@ -1788,7 +1792,7 @@ def q_orders_join_agg(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
     return j.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").cast("long").alias("cnt"),
     )
 
@@ -2570,18 +2574,55 @@ def _oracle_embedding_dup_pairs() -> str:
             )
         return "(" + " + ".join(parts) + ")"
 
+    # full mirror of the engine's banding + star guard: buckets larger
+    # than max_bucket contribute star edges against their min-id member
+    # only (single-linkage preserved, linear rows) — without this the
+    # oracle over-counts pairs exactly when a corpus carries a mega
+    # duplicate cluster (flushed by the 10x soak: identical replica
+    # vectors put every code bucket past the guard)
+    width = EMB_DUP_PLANES // EMB_DUP_BANDS
+    mask = (1 << width) - 1
     return f"""
   with bucketed as (
     select vec_id, embedding::DOUBLE[] as e, {bucket_expr('embedding::DOUBLE[]')} as b
     from embeddings
+  ),
+  banded as (
+    select vec_id, b, band, (b >> (band * {width})) & {mask} as bv
+    from bucketed cross join (select unnest(range({EMB_DUP_BANDS})) as band) bands
+  ),
+  bstats as (
+    select band, bv, count(*) as cnt, min(vec_id) as rep
+    from banded group by 1, 2
+  ),
+  marked as (select n.*, s.cnt, s.rep from banded n join bstats s using (band, bv)),
+  small_pairs as (
+    select a.vec_id as id_a, b.vec_id as id_b
+    from marked a join marked b
+      on a.band = b.band and a.bv = b.bv and a.vec_id < b.vec_id
+    where a.cnt <= {EMB_DUP_MAX_BUCKET}
+  ),
+  star_pairs as (
+    select rep as id_a, vec_id as id_b from marked
+    where cnt > {EMB_DUP_MAX_BUCKET} and vec_id <> rep
+  ),
+  cand as (
+    select distinct id_a, id_b
+    from (select * from small_pairs union all select * from star_pairs)
+  ),
+  pairs as (
+    select c.id_a, c.id_b, a.e as ea, b.e as eb, a.b as ba, b.b as bb
+    from cand c
+    join bucketed a on c.id_a = a.vec_id
+    join bucketed b on c.id_b = b.vec_id
   )
-  select a.vec_id as id_a, b.vec_id as id_b,
-         round(list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) as cosine
-  from bucketed a join bucketed b on a.vec_id < b.vec_id
-  where bit_count(xor(a.b, b.b)) <= {EMB_DUP_MAXH}
-    and list_dot_product(a.e, b.e)
-        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+  select id_a, id_b,
+         round(list_dot_product(ea, eb)
+               / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 6) as cosine
+  from pairs
+  where bit_count(xor(ba, bb)) <= {EMB_DUP_MAXH}
+    and list_dot_product(ea, eb)
+        / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
         >= {EMB_DUP_THRESHOLD}"""
 
 
@@ -3650,13 +3691,13 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_agg": """
   select l_returnflag, l_linestatus,
          round(sum(l_quantity), 6) as sum_qty,
-         round(sum(l_extendedprice), 6) as sum_price,
+         round(sum(l_extendedprice), 2) as sum_price,
          round(avg(l_discount), 6) as avg_disc,
          count(*)::BIGINT as cnt
   from lineitem group by 1, 2""",
         "orders_join_agg": """
   select o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 6) as revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
          count(*)::BIGINT as cnt
   from lineitem join orders on l_orderkey = o_orderkey
   group by 1""",
