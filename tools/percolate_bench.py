@@ -40,9 +40,15 @@ def synthesize_rules(
         F.explode(F.sequence(F.lit(0), n_terms - 1)).alias("slot"),
         n_terms.alias("_nt"),
     )
-    # term index: square a uniform hash into the Zipf head (u² skews small)
+    # term index: UNIFORM over the vocabulary. Alerting rules target
+    # selective terms; a head-biased draw (an earlier revision squared the
+    # hash into the Zipf head) makes every rule contain w1-class terms and
+    # the candidate join explodes to billions of rows — that measures the
+    # rule AUTHOR's mistake, not the engine. Uniform terms give
+    # E[hit rows] = rule_rows/vocab × total corpus tokens (~300 M at 10⁶
+    # rules on 2 M turns), the realistic bulk-tagging shape.
     u = F.pmod(F.xxhash64(F.col("query_id"), F.col("slot"), F.lit(13)), F.lit(10_000))
-    tidx = (u * u / F.lit(100_000_000.0) * F.lit(vocab_size)).cast("long") + 1
+    tidx = (u * F.lit(vocab_size) / F.lit(10_000)).cast("long") + 1
     return (
         rules.select(
             "query_id",
